@@ -1,0 +1,78 @@
+"""Typed configuration carrying every tunable the reference hard-codes.
+
+All defaults mirror the reference exactly (citations inline).  One config
+object flows through build / call / distance instead of scattered constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class BuildConfig:
+    """Signature-build parameters."""
+
+    k: int = 8                          # ref: kmers-build-signatures.cc:17
+    max_seqs_per_file: int = 100000     # ref: kmers-build-signatures.cc:18
+    min_reps_required: int = 3          # ref: kmers-build-signatures.cc:140
+    signature_threshold: float = 0.8    # ref: signature_build.tcc:250
+
+
+@dataclasses.dataclass(frozen=True)
+class CallConfig:
+    """Function-calling parameters."""
+
+    k: int = 8
+    min_hits: int = 5                   # ref: call_functions.h:65
+    max_gap: int = 200                  # ref: call_functions.h:66
+    mad_floor: float = 30.0             # ref: call_functions.tcc:54-55
+    len_mad_window: float = 2.0         # ref: call_functions.tcc:56-57
+    merge_interior_thresh: int = 5      # ref: call_functions.tcc:414
+    merge_exterior_thresh: int = 10     # ref: call_functions.tcc:415
+    call_margin: float = 5.0            # ref: call_functions.tcc:616
+    pair_margin: float = 2.0            # ref: call_functions.tcc:649
+    fusion_tolerance: float = 0.1       # ref: call_functions.tcc:544
+    ignore_hypothetical: bool = False   # ref: call_functions.h:121
+
+
+@dataclasses.dataclass(frozen=True)
+class DistanceConfig:
+    """Matrix-distance parameters."""
+
+    k: int = 8
+    len_sigma_window: float = 2.0       # ref: matrix_distance.h:74-75
+    zero_var_len_frac: float = 0.1      # ref: matrix_distance.h:68
+
+
+@dataclasses.dataclass(frozen=True)
+class TableConfig:
+    """HBM hash-table parameters."""
+
+    load_factor: float = 0.6            # open addressing fill target
+    min_size: int = 1024                # smallest table (power of two)
+    max_probes_cap: int = 512           # safety bound for degenerate builds
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceConfig:
+    """Device batching parameters for the JAX pipelines."""
+
+    # Queries are padded to this many residues per batch row.
+    max_seq_len: int = 4096
+    # Sequences per device batch for the caller.
+    call_batch: int = 256
+    # Max hits retained per sequence for the device automaton.
+    max_hits_per_seq: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    build: BuildConfig = dataclasses.field(default_factory=BuildConfig)
+    call: CallConfig = dataclasses.field(default_factory=CallConfig)
+    distance: DistanceConfig = dataclasses.field(default_factory=DistanceConfig)
+    table: TableConfig = dataclasses.field(default_factory=TableConfig)
+    device: DeviceConfig = dataclasses.field(default_factory=DeviceConfig)
+
+
+DEFAULT_CONFIG = Config()
