@@ -1,0 +1,143 @@
+"""Production function caller: device hit gathering + call scoring.
+
+Pipeline (ref architecture: call_functions.tcc:259-338, redesigned TPU-first):
+
+  FASTA -> padded (B, L) code batch            (host, native scanner)
+        -> rolling k-mer pack + validity       (device, ops.kmer_pack)
+        -> batched hash probe                  (device, ops.probe)
+        -> per-sequence hit automaton          (host exact / device scan)
+        -> find_best_call scoring              (host exact)
+
+The automaton and scoring replicate the golden spec exactly; the device
+path only accelerates the per-residue work (packing + table probes), which
+is where the reference spends its time (one cmph_search + mmap read per
+residue, cmph_kmer.h:139-147).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable
+
+import numpy as np
+
+from ..core import alphabet
+from ..core.config import CallConfig, DeviceConfig
+from ..core.function_map import UNDEFINED_FUNCTION
+from ..golden.call import (BestCall, KmerCall, KmerHit, find_best_call,
+                           process_hits)
+from ..io import fasta as fasta_io
+from ..ops import kmer_pack, probe
+from ..table.kmer_table import KmerTable
+
+
+@dataclasses.dataclass
+class SequenceResult:
+    seq_id: str
+    length: int
+    calls: list[KmerCall]
+    best: BestCall
+    hits: list[KmerHit] | None = None
+
+
+class FunctionCaller:
+    """Batched caller against a KmerTable."""
+
+    def __init__(self, table: KmerTable, function_index: list[str],
+                 config: CallConfig = CallConfig(),
+                 device_config: DeviceConfig = DeviceConfig(),
+                 use_device: bool = True):
+        self.table = table
+        self.function_index = function_index
+        self.config = config
+        self.device_config = device_config
+        self.use_device = use_device
+        try:
+            self.hypo_index = function_index.index("hypothetical protein")
+        except ValueError:
+            self.hypo_index = -1
+            if config.ignore_hypothetical:
+                # the reference exits here (call_functions.tcc:269-274)
+                raise ValueError("Cannot find hypothetical protein index")
+        self._dev = None
+
+    def _device_tables(self):
+        if self._dev is None:
+            self._dev = self.table.device_arrays()
+        return self._dev
+
+    def function_at_index(self, idx: int) -> str:
+        if idx == UNDEFINED_FUNCTION:
+            return ""
+        return self.function_index[idx]
+
+    # -- hit gathering -----------------------------------------------------
+
+    def gather_hits_batch(self, codes: np.ndarray, lengths: np.ndarray):
+        """(B, L) codes -> (found, avg, func, mean, median, var) numpy
+        arrays of shape (B, L), position-aligned."""
+        if self.use_device:
+            import jax.numpy as jnp
+
+            t = self._device_tables()
+            win = kmer_pack.pack_windows(jnp.asarray(codes),
+                                         jnp.asarray(lengths))
+            found, r0, r1, r2 = probe.probe_table(
+                *t, win["hi"], win["lo"], self.table.max_probes)
+            found = found & win["call_valid"]
+            found, r0, r1, r2 = map(np.asarray, (found, r0, r1, r2))
+        else:
+            B, L = codes.shape
+            hi = np.zeros((B, L), dtype=np.uint32)
+            lo = np.zeros((B, L), dtype=np.uint32)
+            valid = np.zeros((B, L), dtype=bool)
+            for i in range(B):
+                n = int(lengths[i])
+                row = codes[i, :n]
+                h, l = alphabet.pack_codes_np(row)
+                hi[i, :max(n - 7, 0)] = h
+                lo[i, :max(n - 7, 0)] = l
+                from ..golden.call import valid_call_windows
+                v = valid_call_windows(row)
+                valid[i, :v.shape[0]] = v
+            found, r0, r1, r2 = self.table.lookup_np(hi, lo)
+            found &= valid
+        avg, func, mean, median, var = KmerTable.unpack_values(r0, r1, r2)
+        return found, avg, func, mean, median, var
+
+    # -- end-to-end --------------------------------------------------------
+
+    def call_batch(self, batch: fasta_io.SequenceBatch,
+                   keep_hits: bool = False) -> list[SequenceResult]:
+        cfg = self.device_config
+        results: list[SequenceResult] = []
+        n = len(batch)
+        for s in range(0, n, cfg.call_batch):
+            sub_ids = batch.ids[s:s + cfg.call_batch]
+            sub = fasta_io.SequenceBatch(
+                codes=batch.codes[batch.offsets[s]:batch.offsets[min(s + cfg.call_batch, n)]],
+                offsets=batch.offsets[s:min(s + cfg.call_batch, n) + 1]
+                - batch.offsets[s],
+                ids=sub_ids,
+                deflines=batch.deflines[s:s + cfg.call_batch],
+            )
+            codes, lengths = kmer_pack.pad_batch(sub, multiple=128)
+            found, avg, func, mean, median, var = self.gather_hits_batch(
+                codes, lengths)
+            for i in range(len(sub)):
+                true_len = int(sub.lengths[i])
+                pos_list = np.nonzero(found[i])[0]
+                hits = [KmerHit(int(p), int(avg[i, p]), int(func[i, p]),
+                                int(mean[i, p]), int(median[i, p]),
+                                int(var[i, p])) for p in pos_list]
+                calls = process_hits(hits, float(true_len), self.config,
+                                     self.hypo_index)
+                best = find_best_call(calls, self.function_at_index,
+                                      self.config)
+                results.append(SequenceResult(
+                    seq_id=sub.ids[i], length=true_len, calls=calls,
+                    best=best, hits=hits if keep_hits else None))
+        return results
+
+    def call_file(self, path, keep_hits: bool = False) -> list[SequenceResult]:
+        return self.call_batch(fasta_io.read_fasta_batch(path), keep_hits)

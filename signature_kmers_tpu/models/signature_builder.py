@@ -1,0 +1,285 @@
+"""Production signature builder: device sort + segment-op selection.
+
+The reference accumulates every (k-mer, attributes) pair in a TBB
+concurrent multimap and scans ranges (ref: signature_build.h:61,
+signature_build.tcc:184-213).  The TPU-native design replaces that with:
+
+  1. extraction: rolling window pack + validity mask over the whole corpus
+     (host/numpy or ops.kmer_pack.pack_flat_windows);
+  2. selection: one multi-key device sort of the packed attribute arrays
+     by (kmer, function, protein_length) and a second by (kmer, offset),
+     then per-(kmer,function) counts, the 80%% rule, and rank-selected
+     medians via jax.ops.segment_{sum,max,min} on the sorted segments
+     (ref semantics: signature_build.tcc:219-293);
+  3. host finalization with exact int64 statistics (mean floor, exact
+     median, exact variance floor) — see FIDELITY.md.
+
+Determinism: the reference's output depends on TBB range splits (a k-mer's
+group can be split across threads); the sorted pipeline is exactly
+deterministic for any device count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from ..core import alphabet
+from ..core.config import BuildConfig, TableConfig
+from ..core.function_map import FunctionMap, UNDEFINED_FUNCTION
+from ..golden.build import BuildStats
+from ..io import fasta as fasta_io
+from ..table.kmer_table import KmerTable
+
+BIG_I32 = np.int32(2**31 - 1)
+
+
+@dataclasses.dataclass
+class KeptKmerArrays:
+    """Struct-of-arrays result of a build, sorted by packed k-mer."""
+
+    hi: np.ndarray            # uint32
+    lo: np.ndarray            # uint32
+    avg_from_end: np.ndarray  # uint16
+    function_index: np.ndarray  # uint16
+    mean: np.ndarray          # uint16
+    median: np.ndarray        # uint16
+    var: np.ndarray           # uint16
+
+    def __len__(self):
+        return int(self.hi.shape[0])
+
+    def to_table(self, config: TableConfig = TableConfig()) -> KmerTable:
+        return KmerTable.from_stats(
+            self.hi, self.lo, self.avg_from_end, self.function_index,
+            self.mean, self.median, self.var, config)
+
+
+def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
+    """Device selection pass.  All inputs int32/uint32 1-D of equal length.
+
+    Returns per-entry arrays in kmer-sorted order (see caller).
+    """
+    import jax.numpy as jnp
+    from jax import lax, ops as jops
+
+    n = hi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    # sort 1: by (kmer, function, protein_length)
+    hi1, lo1, f1, p1, o1, s1 = lax.sort(
+        (hi, lo, func, plen, off, sid), num_keys=4)
+
+    def prev(a, fill):
+        return jnp.concatenate([jnp.full((1,), fill, a.dtype), a[:-1]])
+
+    kstart = (idx == 0) | (hi1 != prev(hi1, 0)) | (lo1 != prev(lo1, 0))
+    pstart = kstart | (f1 != prev(f1, -1))
+    kid = jnp.cumsum(kstart.astype(jnp.int32)) - 1
+    pid = jnp.cumsum(pstart.astype(jnp.int32)) - 1
+
+    ones = jnp.ones(n, dtype=jnp.int32)
+    pair_count = jops.segment_sum(ones, pid, num_segments=n,
+                                  indices_are_sorted=True)[pid]
+    ktotal = jops.segment_sum(ones, kid, num_segments=n,
+                              indices_are_sorted=True)[kid]
+
+    # best function per kmer: max pair count, ties -> lowest function index
+    # (ref iterates an ordered map replacing only on strictly greater
+    # counts, signature_build.tcc:228-248)
+    best_count = jops.segment_max(pair_count, kid, num_segments=n,
+                                  indices_are_sorted=True)[kid]
+    cand = jnp.where(pair_count == best_count, f1, BIG_I32)
+    best_func = jops.segment_min(cand, kid, num_segments=n,
+                                 indices_are_sorted=True)[kid]
+
+    # 80% rule in float32, exactly as the reference compares
+    # (signature_build.tcc:250-257)
+    keep = ~(best_count.astype(jnp.float32)
+             < ktotal.astype(jnp.float32) * jnp.float32(threshold))
+
+    # statistics over the best-function segment (contiguous, plen-sorted)
+    is_best = f1 == best_func
+    pm = jnp.where(is_best, p1, 0)
+    s_best = jops.segment_sum(pm, kid, num_segments=n,
+                              indices_are_sorted=True)[kid]
+    c = s_best // jnp.maximum(best_count, 1)
+    d = jnp.where(is_best, p1 - c, 0)
+    sum_d2 = jops.segment_sum(d * d, kid, num_segments=n,
+                              indices_are_sorted=True)[kid]
+
+    # best-pair first index -> median rank selection
+    pair_first = jops.segment_min(idx, pid, num_segments=n,
+                                  indices_are_sorted=True)
+    pid_best = jops.segment_min(jnp.where(is_best, pid, BIG_I32), kid,
+                                num_segments=n, indices_are_sorted=True)[kid]
+    start_best = pair_first[jnp.minimum(pid_best, n - 1)]
+    med_lo = p1[jnp.clip(start_best + (best_count - 1) // 2, 0, n - 1)]
+    med_hi = p1[jnp.clip(start_best + best_count // 2, 0, n - 1)]
+
+    # sort 2: by (kmer, offset) for avg_from_end = upper median of ALL
+    # offsets (signature_build.tcc:281-282)
+    _hi2, _lo2, o2 = lax.sort((hi, lo, off), num_keys=3)
+    kfirst = jops.segment_min(idx, kid, num_segments=n,
+                              indices_are_sorted=True)[kid]
+    avg_from_end = o2[jnp.clip(kfirst + ktotal // 2, 0, n - 1)]
+
+    return (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
+            s_best, sum_d2, med_lo, med_hi, avg_from_end)
+
+
+class SignatureBuilder:
+    """End-to-end builder: metadata -> extraction -> device selection."""
+
+    def __init__(self, config: BuildConfig = BuildConfig(),
+                 kept_log_path=None, use_device: bool = True):
+        self.config = config
+        self.fm = FunctionMap(kept_log_path)
+        self.all_fasta_files: list[Path] = []
+        self.use_device = use_device
+        self.stats = BuildStats()
+        self._attr_chunks: list[tuple] = []
+
+    # -- metadata (host; mirrors golden) -----------------------------------
+
+    def load_function_data(self, good_functions, good_roles, definition_files):
+        self.fm.add_good_roles(good_roles)
+        self.fm.add_good_functions(good_functions)
+        for f in definition_files:
+            self.fm.load_id_assignments(f)
+
+    def load_fasta(self, fasta_files, keep_functions: bool, deleted_fids: set[str]):
+        for f in fasta_files:
+            self.fm.load_fasta_file(f, keep_functions, deleted_fids)
+            self.all_fasta_files.append(Path(f))
+
+    def process_kept_functions(self, ignored_functions: set[str]):
+        self.fm.process_kept_functions(self.config.min_reps_required,
+                                       ignored_functions)
+
+    # -- extraction --------------------------------------------------------
+
+    def extract_kmers(self, deleted_fids: set[str]):
+        """Vectorized window extraction per file (ref: signature_build.tcc:
+        48-181).  Sequence ids are file_number * max_seqs_per_file + n."""
+        k = self.config.k
+        for file_number, path in enumerate(self.all_fasta_files):
+            seqs = []
+            next_id = file_number * self.config.max_seqs_per_file
+            for rec in fasta_io.iter_fasta(path):
+                if not rec.id or rec.id in deleted_fids:
+                    continue
+                func = self.fm.lookup_function(rec.id)
+                if not func:
+                    continue  # no id consumed (signature_build.tcc:133-136)
+                sid = next_id
+                next_id += 1
+                fidx = self.fm.lookup_index(func)
+                if fidx == UNDEFINED_FUNCTION:
+                    continue  # id consumed (signature_build.tcc:138-158)
+                self.stats.seqs_with_func[fidx] = \
+                    self.stats.seqs_with_func.get(fidx, 0) + 1
+                seqs.append((sid, fidx, alphabet.encode_seq(rec.seq)))
+            if not seqs:
+                continue
+            self._extract_from_seqs(seqs, k)
+
+    def _extract_from_seqs(self, seqs, k):
+        total = sum(len(c) for _, _, c in seqs)
+        codes = np.empty(total, dtype=np.uint8)
+        row = np.empty(total, dtype=np.int32)  # index into seqs
+        pos = 0
+        for i, (_sid, _f, c) in enumerate(seqs):
+            codes[pos:pos + len(c)] = c
+            row[pos:pos + len(c)] = i
+            pos += len(c)
+        sids = np.asarray([s for s, _, _ in seqs], dtype=np.int32)
+        fidxs = np.asarray([f for _, f, _ in seqs], dtype=np.int32)
+        plens = np.asarray([len(c) for _, _, c in seqs], dtype=np.int32)
+        starts = np.concatenate([[0], np.cumsum(plens)[:-1]]).astype(np.int32)
+
+        hi, lo = alphabet.pack_codes_np(codes)
+        nwin = hi.shape[0]
+        if nwin == 0:
+            return
+        same_seq = row[:nwin] == row[k - 1:]
+        is_aa = alphabet.CODE_IS_AA[codes]
+        ok = same_seq.copy()
+        win_aa = np.ones(nwin, dtype=bool)
+        c = np.concatenate([[0], np.cumsum(is_aa.astype(np.int32))])
+        win_aa = (c[k:] - c[:-k]) == k
+        ok &= win_aa
+
+        w = np.nonzero(ok)[0]
+        if w.size == 0:
+            return
+        r = row[w]
+        local = w - starts[r]
+        off = ((plens[r] - local) & 0xFFFF).astype(np.int32)
+        self._attr_chunks.append((
+            hi[w], lo[w], fidxs[r], off, plens[r], sids[r]))
+
+    # -- selection ---------------------------------------------------------
+
+    def process_kmers(self) -> KeptKmerArrays:
+        if not self._attr_chunks:
+            e16 = np.zeros(0, dtype=np.uint16)
+            e32 = np.zeros(0, dtype=np.uint32)
+            return KeptKmerArrays(e32, e32, e16, e16, e16, e16, e16)
+        hi = np.concatenate([c[0] for c in self._attr_chunks])
+        lo = np.concatenate([c[1] for c in self._attr_chunks])
+        func = np.concatenate([c[2] for c in self._attr_chunks]).astype(np.int32)
+        off = np.concatenate([c[3] for c in self._attr_chunks]).astype(np.int32)
+        plen = np.concatenate([c[4] for c in self._attr_chunks]).astype(np.int32)
+        sid = np.concatenate([c[5] for c in self._attr_chunks]).astype(np.int32)
+        self._attr_chunks.clear()
+        return self._select(hi, lo, func, off, plen, sid)
+
+    def _select(self, hi, lo, func, off, plen, sid) -> KeptKmerArrays:
+        import jax
+
+        thresh = self.config.signature_threshold
+        if self.use_device:
+            sel = jax.jit(_select_signatures_jax, static_argnames=("threshold",))(
+                hi, lo, func, off, plen, sid, threshold=thresh)
+            (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
+             s_best, sum_d2, med_lo, med_hi, avg_from_end) = map(np.asarray, sel)
+        else:
+            raise NotImplementedError("host selection path is golden/build.py")
+
+        kept_entry = np.asarray(keep)
+        reps = np.asarray(kstart) & kept_entry
+        ridx = np.nonzero(reps)[0]
+
+        # exact int64 finalization (see FIDELITY.md)
+        n_b = best_count[ridx].astype(np.int64)
+        s_b = s_best[ridx].astype(np.int64)
+        d2 = sum_d2[ridx].astype(np.int64)
+        mean_u16 = ((s_b // n_b) & 0xFFFF).astype(np.uint16)
+        ml = med_lo[ridx].astype(np.int64)
+        mh = med_hi[ridx].astype(np.int64)
+        median_u16 = (((ml + mh) // 2) & 0xFFFF).astype(np.uint16)
+        # var = (n*sum(x^2) - s^2) / n^2 == (n*sum_d2 - r^2) / n^2 with
+        # r = s mod n; exact floor in int64
+        r = s_b - (s_b // n_b) * n_b
+        var_u16 = (((n_b * d2 - r * r) // (n_b * n_b)) & 0xFFFF).astype(np.uint16)
+
+        out = KeptKmerArrays(
+            hi=hi1[ridx].astype(np.uint32),
+            lo=lo1[ridx].astype(np.uint32),
+            avg_from_end=(avg_from_end[ridx] & 0xFFFF).astype(np.uint16),
+            function_index=best_func[ridx].astype(np.uint16),
+            mean=mean_u16,
+            median=median_u16,
+            var=var_u16,
+        )
+        # already sorted by (hi, lo) from the device sort
+        self.stats.distinct_signatures = len(out)
+        bf, cnt = np.unique(out.function_index, return_counts=True)
+        self.stats.distinct_functions = dict(
+            zip(bf.tolist(), cnt.tolist()))
+        self.stats.seqs_with_a_signature = set(
+            np.unique(s1[kept_entry]).tolist())
+        return out

@@ -1,0 +1,128 @@
+"""Device rolling k-mer extraction over padded sequence batches.
+
+Vectorized replacement for the reference's per-position scalar loops
+(ref: kmer_data.h:76-102 ``for_each_kmer``; signature_build.tcc:162-180
+window validation).  Operates on (B, L) uint8 code matrices padded with
+INVALID_CODE; every position is a window start, the last K-1 positions and
+any window crossing the sequence end are masked invalid.
+
+Outputs stay position-aligned: hi/lo/masks have shape (B, L) so a window's
+index is its residue position, exactly the ``offset`` the reference
+reports.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import alphabet
+
+K = alphabet.K
+
+# device-side lookup tables
+_CODE_IS_AA = jnp.asarray(alphabet.CODE_IS_AA)
+_CODE_IS_CALL_AMBIG = jnp.asarray(alphabet.CODE_IS_CALL_AMBIG)
+
+
+def _window_all(flags, L):
+    """flags: (..., L) bool; result[..., i] = all(flags[..., i:i+K]),
+    with the last K-1 positions False."""
+    # cumulative-sum trick: window sum == K
+    c = jnp.cumsum(flags.astype(jnp.int32), axis=-1)
+    zero = jnp.zeros(flags.shape[:-1] + (1,), dtype=jnp.int32)
+    c = jnp.concatenate([zero, c], axis=-1)  # (..., L+1)
+    wsum = c[..., K:] - c[..., :-K]          # (..., L-K+1)
+    ok = wsum == K
+    pad = jnp.zeros(flags.shape[:-1] + (K - 1,), dtype=bool)
+    return jnp.concatenate([ok, pad], axis=-1)
+
+
+@jax.jit
+def pack_windows(codes, lengths):
+    """codes: (B, L) uint8; lengths: (B,) int32.
+
+    Returns dict with position-aligned (B, L) arrays:
+      hi, lo          packed window words (uint32; garbage where invalid)
+      in_seq          window lies fully inside the sequence
+      build_valid     in_seq and all K residues in the 20-AA set
+      call_valid      in_seq and no '*' / uppercase 'X' in the window
+    """
+    B, L = codes.shape
+    c = codes.astype(jnp.uint32)
+
+    def shifted(j):
+        # codes shifted left by j, padded with INVALID_CODE
+        return jnp.concatenate(
+            [c[:, j:], jnp.full((B, j), alphabet.INVALID_CODE, jnp.uint32)],
+            axis=1)
+
+    s = [shifted(j) for j in range(K)]
+    hi = (s[0] << 18) | (s[1] << 12) | (s[2] << 6) | s[3]
+    lo = (s[4] << 18) | (s[5] << 12) | (s[6] << 6) | s[7]
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    in_seq = pos + K <= lengths[:, None]
+
+    is_aa = _CODE_IS_AA[codes]
+    not_ambig = ~_CODE_IS_CALL_AMBIG[codes]
+    build_valid = _window_all(is_aa, L) & in_seq
+    call_valid = _window_all(not_ambig, L) & in_seq
+    return {"hi": hi, "lo": lo, "in_seq": in_seq,
+            "build_valid": build_valid, "call_valid": call_valid}
+
+
+def pad_batch(batch, max_len: int | None = None, multiple: int = 128):
+    """Host helper: SequenceBatch -> (codes (B, L) uint8, lengths (B,) int32).
+
+    Sequences longer than max_len are truncated (documented divergence;
+    raise max_len for long proteins).  L is rounded up to ``multiple`` for
+    TPU lane alignment.
+    """
+    lens = batch.lengths
+    B = len(batch)
+    if max_len is not None:
+        tgt = int(max_len)  # fixed shape requested (jit shape stability)
+    else:
+        tgt = int(lens.max()) if B else multiple
+    L = max(multiple, -(-tgt // multiple) * multiple)
+    codes = np.full((B, L), alphabet.INVALID_CODE, dtype=np.uint8)
+    out_lens = np.minimum(lens, L).astype(np.int32)
+    for i in range(B):
+        n = out_lens[i]
+        codes[i, :n] = batch.codes[batch.offsets[i]:batch.offsets[i] + n]
+    return codes, out_lens
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pack_flat_windows(codes, seq_ids):
+    """Flat-form extraction for the build pipeline.
+
+    codes: (N,) uint8 concatenated corpus; seq_ids: (N,) int32 sequence id
+    per residue (padding positions use -1).  A window is in-sequence iff
+    its first and last residues share a sequence id.
+    Returns (hi, lo, build_valid) of shape (N,) (last 7 garbage/invalid).
+    """
+    n = codes.shape[0]
+    c = codes.astype(jnp.uint32)
+
+    def shifted(arr, j, fill):
+        return jnp.concatenate([arr[j:], jnp.full((j,), fill, arr.dtype)])
+
+    s = [shifted(c, j, alphabet.INVALID_CODE) for j in range(K)]
+    hi = (s[0] << 18) | (s[1] << 12) | (s[2] << 6) | s[3]
+    lo = (s[4] << 18) | (s[5] << 12) | (s[6] << 6) | s[7]
+
+    last_ids = shifted(seq_ids, K - 1, -1)
+    in_seq = (seq_ids == last_ids) & (seq_ids >= 0)
+
+    is_aa = _CODE_IS_AA[codes]
+    c2 = jnp.cumsum(is_aa.astype(jnp.int32))
+    c2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), c2])
+    tail = jnp.full((K - 1,), 0, jnp.int32)
+    wsum = jnp.concatenate([c2[K:] - c2[:-K], tail])
+    build_valid = (wsum == K) & in_seq
+    return hi, lo, build_valid

@@ -1,0 +1,78 @@
+"""Batched device probe of the HBM signature table.
+
+The hot inner loop of inference: one table lookup per residue position of
+every query protein (the reference does one cmph_search + one random mmap
+read per position, ref: call_functions.tcc:276-335, cmph_kmer.h:139-147).
+
+TPU design: the whole query batch probes in lock-step rounds of linear
+probing.  Each round is one batched gather from HBM; nearly all queries
+resolve in the first round (hit or empty slot), and the loop exits as soon
+as every lane is resolved, bounded by the table's longest probe chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import hashing
+
+EMPTY = jnp.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("max_probes",))
+def probe_table(key_hi, key_lo, v0, v1, v2, qhi, qlo, max_probes: int):
+    """Probe the table for a batch of packed queries.
+
+    Args:
+      key_hi..v2: table word arrays (size S, power of two) in HBM.
+      qhi, qlo: uint32 query words, any (equal) shape.
+      max_probes: static longest probe chain of this table.
+
+    Returns (found, r0, r1, r2): found bool, value words (0 where miss).
+    """
+    mask = jnp.uint32(key_hi.shape[0] - 1)
+    qhi = qhi.astype(jnp.uint32)
+    qlo = qlo.astype(jnp.uint32)
+    cur0 = hashing.hash_kmer(qhi, qlo, jnp) & mask
+
+    def gather_round(cur, done, found, r0, r1, r2):
+        khi = key_hi[cur]
+        klo = key_lo[cur]
+        hit = (khi == qhi) & (klo == qlo) & ~done
+        empty = (khi == EMPTY) & ~done
+        r0 = jnp.where(hit, v0[cur], r0)
+        r1 = jnp.where(hit, v1[cur], r1)
+        r2 = jnp.where(hit, v2[cur], r2)
+        found = found | hit
+        done = done | hit | empty
+        return done, found, r0, r1, r2
+
+    zeros = jnp.zeros_like(qhi)
+    done0 = jnp.zeros(qhi.shape, dtype=bool)
+    # first round unconditionally
+    done, found, r0, r1, r2 = gather_round(
+        cur0, done0, done0, zeros, zeros, zeros)
+
+    if max_probes > 1:
+        def cond(state):
+            i, cur, done, found, r0, r1, r2 = state
+            return (i < max_probes) & ~jnp.all(done)
+
+        def body(state):
+            i, cur, done, found, r0, r1, r2 = state
+            cur = (cur + jnp.uint32(1)) & mask
+            done, found, r0, r1, r2 = gather_round(cur, done, found, r0, r1, r2)
+            return i + 1, cur, done, found, r0, r1, r2
+
+        _, _, done, found, r0, r1, r2 = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), cur0, done, found, r0, r1, r2))
+    return found, r0, r1, r2
+
+
+def unpack_values_jnp(r0, r1, r2):
+    """-> (avg_from_end, function_index, mean, median, var) as uint32."""
+    m = jnp.uint32(0xFFFF)
+    return (r0 & m, r0 >> 16, r1 & m, r1 >> 16, r2 & m)
