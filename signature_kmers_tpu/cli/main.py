@@ -1,0 +1,294 @@
+"""Command-line drivers mirroring the reference binaries.
+
+  skt build-signatures    ~ kmers-build-signatures (ref: kmers-build-signatures.cc:47-62)
+  skt call-functions      ~ kmers-call-functions   (ref: kmers-call-functions.cc:52-60)
+  skt annotate-seqs       ~ kmers-annotate-seqs    (ref: kmers-annotate-seqs.cc:49-57)
+  skt matrix-distance     ~ kmers-matrix-distance  (ref: kmers-matrix-distance.cc:60-68)
+  skt matrix-distance-folder / -merge               (ref: *-folder.cc, *-merge.cc)
+  skt serve               ~ kmers-server (service layer)
+
+Output formats are byte-compatible with the reference (see io/formats.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from ..core.config import CallConfig, Config
+from ..io import fasta as fasta_io, formats
+from ..models import pipeline
+from ..models.function_caller import FunctionCaller
+from ..models.matrix_distance import MatrixDistance
+from ..core.function_map import UNDEFINED_FUNCTION
+
+
+def _add_build(sub):
+    p = sub.add_parser("build-signatures", help="build signature k-mer set")
+    p.add_argument("-D", "--definition-dir", action="append", default=[])
+    p.add_argument("-F", "--fasta-dir", action="append", default=[])
+    p.add_argument("-K", "--fasta-keep-functions-dir", action="append", default=[])
+    p.add_argument("--good-functions", action="append", default=[])
+    p.add_argument("--good-roles", action="append", default=[])
+    p.add_argument("--deleted-features-file")
+    p.add_argument("--ignored-functions-file")
+    p.add_argument("--kmer-data-dir")
+    p.add_argument("--final-kmers")
+    p.add_argument("--min-reps-required", type=int, default=3)
+    p.add_argument("--n-threads", type=int, default=1)  # accepted for parity
+    p.add_argument("--kept-log")
+    p.add_argument("--no-recall", action="store_true")
+    p.add_argument("--host-only", action="store_true",
+                   help="skip device pipelines (debug)")
+    p.set_defaults(func=cmd_build)
+
+
+def cmd_build(args):
+    from ..utils import paths
+    import dataclasses
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, build=dataclasses.replace(
+            cfg.build, min_reps_required=args.min_reps_required))
+    good_functions = paths.load_strings(args.good_functions)
+    good_roles = paths.load_strings(args.good_roles)
+    res = pipeline.run_build(
+        definition_dirs=args.definition_dir,
+        fasta_dirs=args.fasta_dir,
+        fasta_keep_dirs=args.fasta_keep_functions_dir,
+        good_functions=good_functions,
+        good_roles=good_roles,
+        deleted_fids_file=args.deleted_features_file,
+        ignored_functions_file=args.ignored_functions_file,
+        kmer_data_dir=args.kmer_data_dir,
+        final_kmers=args.final_kmers,
+        recall=not args.no_recall,
+        kept_log=args.kept_log,
+        config=cfg,
+        use_device=not args.host_only,
+    )
+    print(f"kept {len(res.function_index)} functions")
+    print(f"Kept {len(res.kept)} kmers")
+    print(f"distinct_signatures={res.builder.stats.distinct_signatures}")
+    print("num_seqs_with_a_signature="
+          f"{len(res.builder.stats.seqs_with_a_signature)}")
+    return 0
+
+
+def _add_call(sub):
+    p = sub.add_parser("call-functions", help="call functions for query FASTAs")
+    p.add_argument("-d", "--data-dir", required=True)
+    p.add_argument("-i", "--input-files", nargs="+", required=True)
+    p.add_argument("-o", "--output-file")
+    p.add_argument("-j", "--n-threads", type=int, default=1)
+    p.add_argument("--ignore-hypo", action="store_true")
+    p.add_argument("--debug-hits", action="store_true")
+    p.set_defaults(func=cmd_call)
+
+
+def cmd_call(args):
+    import dataclasses
+
+    cfg = Config()
+    table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
+    call_cfg = dataclasses.replace(cfg.call,
+                                   ignore_hypothetical=args.ignore_hypo)
+    caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
+    out = open(args.output_file, "w") if args.output_file else sys.stdout
+    try:
+        for path in args.input_files:
+            for res in caller.call_file(path, keep_hits=args.debug_hits):
+                if args.debug_hits and res.hits:
+                    from ..core import alphabet
+                    import math
+
+                    for h in res.hits:
+                        fn = (function_index[h.function_index]
+                              if h.function_index < len(function_index) else "")
+                        print(f"<hit>\t{h.pos}\t{fn}\t{h.median}\t{h.mean}\t"
+                              f"{h.var}\t{formats.cxx_num(math.sqrt(h.var))}",
+                              file=out)
+                out.write(formats.format_call_row(
+                    res.seq_id, res.best.function,
+                    res.best.function_index, res.best.score))
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def _add_annotate(sub):
+    p = sub.add_parser("annotate-seqs",
+                       help="pf-annotate-seqs replacement")
+    p.add_argument("kmer_data_dir")
+    p.add_argument("genus_data_dir")  # accepted for CLI parity (unused, as in ref)
+    p.add_argument("sequences_dir")
+    p.add_argument("calls_file")
+    p.add_argument("uncalled_ids_file")
+    p.add_argument("-j", "--parallel", type=int, default=1)
+    p.add_argument("--ignore-hypo", action="store_true")
+    p.set_defaults(func=cmd_annotate)
+
+
+def cmd_annotate(args):
+    import dataclasses
+
+    from ..utils import paths
+
+    cfg = Config()
+    table, function_index = pipeline.load_data_dir(args.kmer_data_dir, cfg)
+    call_cfg = dataclasses.replace(cfg.call,
+                                   ignore_hypothetical=args.ignore_hypo)
+    caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
+    uncalled = []
+    with open(args.calls_file, "w") as out:
+        for path in paths.populate_path_list([args.sequences_dir]):
+            for res in caller.call_file(path):
+                if res.best.function_index == UNDEFINED_FUNCTION:
+                    uncalled.append(res.seq_id)
+                else:
+                    out.write(formats.format_call_row(
+                        res.seq_id, res.best.function,
+                        res.best.function_index, res.best.score))
+    formats.write_lines(args.uncalled_ids_file, uncalled)
+    return 0
+
+
+def _add_matrix(sub):
+    p = sub.add_parser("matrix-distance", help="all-vs-all distance for one FASTA")
+    p.add_argument("-d", "--data-dir", required=True)
+    p.add_argument("-i", "--input-file", required=True)
+    p.add_argument("-o", "--output-file")
+    p.add_argument("--min-hits", type=int, default=3)  # parsed, unused (as in ref)
+    p.add_argument("-j", "--n-threads", type=int, default=1)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(func=cmd_matrix)
+
+
+def cmd_matrix(args):
+    cfg = Config()
+    table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
+    md = MatrixDistance(table, function_index, cfg.distance, cfg.device)
+    batch = fasta_io.read_fasta_batch(args.input_file)
+    res = md.compute([batch])
+    out = open(args.output_file, "w") if args.output_file else sys.stdout
+    try:
+        for s1, s2, count in res.rows(with_score=False):
+            out.write(f"{s1}\t{s2}\t{count}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def _add_matrix_folder(sub):
+    p = sub.add_parser("matrix-distance-folder",
+                       help="distance per FASTA in a folder (restartable)")
+    p.add_argument("data_dir")
+    p.add_argument("input_dir")
+    p.add_argument("output_dir")
+    p.add_argument("-j", "--n-threads", type=int, default=1)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(func=cmd_matrix_folder)
+
+
+def cmd_matrix_folder(args):
+    cfg = Config()
+    table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
+    md = MatrixDistance(table, function_index, cfg.distance, cfg.device)
+    in_dir = Path(args.input_dir)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for f in sorted(in_dir.iterdir()):
+        if not f.is_file():
+            continue
+        out = out_dir / f.name
+        if out.exists():  # restartable sharding (ref: *-folder.cc:113-114)
+            continue
+        if f.stat().st_size == 0:
+            continue
+        batch = fasta_io.read_fasta_batch(f)
+        res = md.compute([batch])
+        formats.write_distance(out, res.rows(with_score=True), with_score=True)
+    return 0
+
+
+def _add_matrix_merge(sub):
+    p = sub.add_parser("matrix-distance-merge",
+                       help="per-family distance across genus dirs")
+    p.add_argument("data_dir")
+    p.add_argument("base_dir")
+    p.add_argument("output_dir")
+    p.add_argument("family_ids", nargs="*")
+    p.add_argument("-j", "--n-threads", type=int, default=1)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(func=cmd_matrix_merge)
+
+
+def cmd_matrix_merge(args):
+    cfg = Config()
+    table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
+    md = MatrixDistance(table, function_index, cfg.distance, cfg.device)
+    base = Path(args.base_dir)
+    if not base.is_dir():
+        print(f"Base directory {base} is not a valid directory", file=sys.stderr)
+        return 1
+    genus_dirs = [d for d in sorted(base.iterdir())
+                  if d.is_dir() and (d / "local.family.defs").is_file()]
+    if not genus_dirs:
+        print(f"No valid genus directories found in {base}", file=sys.stderr)
+        return 1
+    work = args.family_ids or [str(i) for i in range(len(function_index))]
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for fam in work:
+        batches = []
+        for g in genus_dirs:
+            f = g / "fasta_by_function" / fam
+            if f.is_file() and f.stat().st_size > 0:
+                batches.append(fasta_io.read_fasta_batch(f))
+        if not batches:
+            continue
+        res = md.compute(batches)
+        formats.write_distance(out_dir / fam, res.rows(with_score=True),
+                               with_score=True)
+    return 0
+
+
+def _add_serve(sub):
+    p = sub.add_parser("serve", help="annotation service")
+    p.add_argument("-d", "--data-dir", required=True)
+    p.add_argument("--port", type=int, default=6100)
+    p.add_argument("--host", default="127.0.0.1")
+    p.set_defaults(func=cmd_serve)
+
+
+def cmd_serve(args):
+    from ..service.server import serve
+
+    serve(args.data_dir, host=args.host, port=args.port)
+    return 0
+
+
+def main(argv=None):
+    from ..utils.jaxcache import enable_cache
+
+    enable_cache()
+    parser = argparse.ArgumentParser(
+        prog="skt", description="TPU-native signature k-mer framework")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_build(sub)
+    _add_call(sub)
+    _add_annotate(sub)
+    _add_matrix(sub)
+    _add_matrix_folder(sub)
+    _add_matrix_merge(sub)
+    _add_serve(sub)
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

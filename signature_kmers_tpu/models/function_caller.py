@@ -31,6 +31,25 @@ from ..ops import kmer_pack, probe
 from ..table.kmer_table import KmerTable
 
 
+def pad_bucketed(sub: fasta_io.SequenceBatch, rows: int):
+    """Pad a sub-batch to a FIXED row count and a power-of-two sequence
+    length bucket, so jit compiles once per (rows, bucket) pair instead of
+    once per batch shape."""
+    lens = sub.lengths
+    nat = int(lens.max()) if len(sub) else 128
+    L = 128
+    while L < nat:
+        L *= 2
+    codes, lengths = kmer_pack.pad_batch(sub, max_len=L, multiple=L)
+    if codes.shape[0] < rows:
+        padc = np.full((rows - codes.shape[0], codes.shape[1]),
+                       alphabet.INVALID_CODE, dtype=np.uint8)
+        codes = np.concatenate([codes, padc], axis=0)
+        lengths = np.concatenate(
+            [lengths, np.zeros(rows - lengths.shape[0], dtype=np.int32)])
+    return codes, lengths
+
+
 @dataclasses.dataclass
 class SequenceResult:
     seq_id: str
@@ -113,15 +132,14 @@ class FunctionCaller:
         results: list[SequenceResult] = []
         n = len(batch)
         for s in range(0, n, cfg.call_batch):
-            sub_ids = batch.ids[s:s + cfg.call_batch]
+            e = min(s + cfg.call_batch, n)
             sub = fasta_io.SequenceBatch(
-                codes=batch.codes[batch.offsets[s]:batch.offsets[min(s + cfg.call_batch, n)]],
-                offsets=batch.offsets[s:min(s + cfg.call_batch, n) + 1]
-                - batch.offsets[s],
-                ids=sub_ids,
-                deflines=batch.deflines[s:s + cfg.call_batch],
+                codes=batch.codes[batch.offsets[s]:batch.offsets[e]],
+                offsets=batch.offsets[s:e + 1] - batch.offsets[s],
+                ids=batch.ids[s:e],
+                deflines=batch.deflines[s:e],
             )
-            codes, lengths = kmer_pack.pad_batch(sub, multiple=128)
+            codes, lengths = pad_bucketed(sub, cfg.call_batch)
             found, avg, func, mean, median, var = self.gather_hits_batch(
                 codes, lengths)
             for i in range(len(sub)):

@@ -1,0 +1,151 @@
+"""End-to-end build orchestration: metadata -> build -> artifacts -> recall.
+
+Mirrors the kmers-build-signatures main flow (ref:
+kmers-build-signatures.cc:126-372): writes function.index, stub otu.index /
+genomes, distinct_functions, final.kmers, the signature table (the
+NuDB/CMPH replacement at <data-dir>/kmer_data.{npz,json}), and the recall
+self-check reports under recall.report.d/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+from ..core.config import Config
+from ..io import fasta as fasta_io, formats
+from ..models.function_caller import FunctionCaller
+from ..models.signature_builder import KeptKmerArrays, SignatureBuilder
+from ..table.kmer_table import KmerTable
+from ..utils import paths
+
+
+@dataclasses.dataclass
+class BuildResult:
+    builder: SignatureBuilder
+    kept: KeptKmerArrays
+    table: KmerTable
+    function_index: list[str]
+    kmer_data_dir: Path | None
+
+
+def run_build(
+    definition_dirs=(),
+    fasta_dirs=(),
+    fasta_keep_dirs=(),
+    good_functions=(),
+    good_roles=(),
+    deleted_fids_file=None,
+    ignored_functions_file=None,
+    kmer_data_dir=None,
+    final_kmers=None,
+    write_table: bool = True,
+    recall: bool = True,
+    kept_log=None,
+    config: Config = Config(),
+    use_device: bool = True,
+) -> BuildResult:
+    builder = SignatureBuilder(config.build, kept_log, use_device=use_device)
+
+    definition_files = paths.populate_path_list(definition_dirs)
+    fasta_files = paths.populate_path_list(fasta_dirs)
+    fasta_keep_files = paths.populate_path_list(fasta_keep_dirs)
+
+    builder.load_function_data(list(good_functions), list(good_roles),
+                               definition_files)
+    deleted = paths.load_set_from_file(deleted_fids_file)
+    ignored = paths.load_set_from_file(ignored_functions_file)
+
+    if kmer_data_dir:
+        kmer_data_dir = Path(kmer_data_dir)
+        paths.ensure_directory(kmer_data_dir)
+
+    builder.load_fasta(fasta_files, False, deleted)
+    builder.load_fasta(fasta_keep_files, True, deleted)
+    builder.process_kept_functions(ignored)
+
+    function_index = [builder.fm.index_function_map[i]
+                      for i in sorted(builder.fm.index_function_map)]
+
+    if kmer_data_dir:
+        formats.write_function_index(kmer_data_dir / "function.index",
+                                     builder.fm.function_index_rows())
+        # stub artifacts for pipeline compatibility
+        # (ref: kmers-build-signatures.cc:184-191)
+        (kmer_data_dir / "otu.index").write_text("")
+        (kmer_data_dir / "genomes").write_text("empty genomes\n")
+
+    builder.extract_kmers(deleted)
+    kept = builder.process_kmers()
+
+    if kmer_data_dir:
+        # distinct_functions table (ref: kmers-build-signatures.cc:230-236)
+        rows = [f"{fi}\t{builder.fm.lookup_function(int(fi))}\t{cnt}"
+                for fi, cnt in sorted(builder.stats.distinct_functions.items())]
+        formats.write_lines(kmer_data_dir / "distinct_functions", rows)
+
+    if final_kmers and kmer_data_dir:
+        fk = Path(final_kmers)
+        if not fk.is_absolute():
+            fk = kmer_data_dir / fk
+        formats.write_final_kmers(fk, kept.hi, kept.lo, kept.avg_from_end,
+                                  kept.function_index)
+
+    table = kept.to_table(config.table)
+    if write_table and kmer_data_dir:
+        table.save(kmer_data_dir / "kmer_data")
+
+    if recall and kmer_data_dir:
+        _run_recall(builder, table, function_index, kmer_data_dir, config)
+
+    return BuildResult(builder, kept, table, function_index,
+                       kmer_data_dir)
+
+
+def _run_recall(builder: SignatureBuilder, table: KmerTable,
+                function_index: list[str], kmer_data_dir: Path,
+                config: Config) -> None:
+    """Re-call every training protein against the fresh table; write
+    per-file mismatch reports (ref: kmers-build-signatures.cc:240-349)."""
+    report_dir = kmer_data_dir / "recall.report.d"
+    paths.ensure_directory(report_dir)
+    caller = FunctionCaller(table, function_index, config.call,
+                            config.device)
+    for f in builder.all_fasta_files:
+        lines = []
+        for res in caller.call_file(f):
+            orig, orig_stripped = builder.fm.lookup_original_assignment(
+                res.seq_id)
+            func = res.best.function
+            if orig_stripped != func:
+                lines.append(
+                    f"{res.seq_id}\t{orig}\t{orig_stripped}\t{func}\t"
+                    f"{res.best.function_index}\t{formats.cxx_num(res.best.score)}")
+        formats.write_lines(report_dir / Path(f).name, sorted(lines))
+
+
+def load_data_dir(data_dir, config: Config = Config(),
+                  use_device: bool = True):
+    """Open a built data dir -> (table, function_index).
+
+    Reads the signature table (kmer_data.{npz,json}) and function.index,
+    the same layout the reference CLIs consume
+    (ref: kmers-call-functions.cc:93-106)."""
+    data_dir = Path(data_dir)
+    base = data_dir / "kmer_data"
+    if not KmerTable.exists(base):
+        # interop: accept a final.kmers text dump (partial values)
+        fk = data_dir / "final.kmers"
+        if fk.is_file():
+            import numpy as np
+
+            hi, lo, avg, fn = formats.read_final_kmers(fk)
+            z = np.zeros(hi.shape[0], dtype=np.uint16)
+            table = KmerTable.from_stats(hi, lo, avg, fn, z, z, z,
+                                         config.table)
+        else:
+            raise FileNotFoundError(f"No kmer table at {base}")
+    else:
+        table = KmerTable.load(base)
+    function_index = formats.read_function_index(data_dir / "function.index")
+    return table, function_index

@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+from signature_kmers_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
+
 
 @pytest.fixture(scope="session")
 def fixture_dir(tmp_path_factory):

@@ -1,0 +1,212 @@
+"""End-to-end: CLI build -> artifacts -> call/annotate/distance -> service."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from signature_kmers_tpu.cli.main import main as cli_main
+from signature_kmers_tpu.io import formats
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from tests.fixtures.gen_corpus import generate_corpus
+
+    root = tmp_path_factory.mktemp("corpus_e2e")
+    generate_corpus(root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def data_dir(corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("kmerdata")
+    rc = cli_main([
+        "build-signatures",
+        "-D", str(corpus / "Annotations"),
+        "-F", str(corpus / "Seqs"),
+        "--kmer-data-dir", str(out),
+        "--final-kmers", "final.kmers",
+    ])
+    assert rc == 0
+    return out
+
+
+class TestBuildArtifacts:
+    def test_artifacts_exist(self, data_dir):
+        for name in ["function.index", "otu.index", "genomes",
+                     "distinct_functions", "final.kmers",
+                     "kmer_data.npz", "kmer_data.json"]:
+            assert (data_dir / name).exists(), name
+        assert (data_dir / "recall.report.d").is_dir()
+
+    def test_function_index_roundtrip(self, data_dir):
+        funcs = formats.read_function_index(data_dir / "function.index")
+        assert "hypothetical protein" in funcs
+        assert len(funcs) >= 7
+
+    def test_final_kmers_roundtrip(self, data_dir):
+        hi, lo, avg, fn = formats.read_final_kmers(data_dir / "final.kmers")
+        assert hi.shape[0] > 500
+        # sorted by packed kmer
+        packed = (hi.astype(np.uint64) << 24) | lo
+        assert (np.diff(packed.astype(np.int64)) > 0).all()
+
+    def test_recall_reports(self, data_dir):
+        # Genomes annotated via assignment files must recall cleanly.
+        # Genomes annotated only via deflines have no recorded "original
+        # assignment" (ref looks them up from definition files only,
+        # kmers-build-signatures.cc:288-297), so each of their proteins
+        # appears with empty old-function columns — as in the reference.
+        for f in (data_dir / "recall.report.d").iterdir():
+            for line in f.read_text().splitlines():
+                cols = line.split("\t")
+                assert cols[1] == "" and cols[2] == "", (
+                    f"real recall mismatch: {line}")
+
+
+class TestCallCli:
+    def test_call_functions(self, corpus, data_dir, tmp_path):
+        out = tmp_path / "calls.tsv"
+        rc = cli_main([
+            "call-functions", "-d", str(data_dir),
+            "-i", str(corpus / "Queries" / "queries.fa"),
+            "-o", str(out)])
+        assert rc == 0
+        rows = [l.split("\t") for l in out.read_text().splitlines()]
+        assert len(rows) == 10  # 7 family queries + 3 decoys
+        by_id = {r[0]: r for r in rows}
+        from tests.fixtures.gen_corpus import FUNCTIONS
+
+        for qi, fn in enumerate(FUNCTIONS):
+            assert by_id[f"query.{qi}"][1] == fn
+        for d in range(3):
+            assert by_id[f"decoy.{d}"][2] == "65535"
+
+    def test_annotate_seqs(self, corpus, data_dir, tmp_path):
+        calls = tmp_path / "calls"
+        uncalled = tmp_path / "uncalled"
+        rc = cli_main([
+            "annotate-seqs", str(data_dir), str(tmp_path / "genus"),
+            str(corpus / "Queries"), str(calls), str(uncalled)])
+        assert rc == 0
+        called_ids = {l.split("\t")[0] for l in calls.read_text().splitlines()}
+        uncalled_ids = set(uncalled.read_text().splitlines())
+        assert len(called_ids) == 7
+        assert uncalled_ids == {"decoy.0", "decoy.1", "decoy.2"}
+
+
+class TestDistanceCli:
+    def test_matrix_distance_matches_golden(self, corpus, data_dir, tmp_path):
+        out = tmp_path / "dist.tsv"
+        rc = cli_main([
+            "matrix-distance", "-d", str(data_dir),
+            "-i", str(corpus / "Seqs" / "1000.7"),
+            "-o", str(out)])
+        assert rc == 0
+        got = sorted(out.read_text().splitlines())
+
+        # golden comparison
+        from signature_kmers_tpu.core.config import BuildConfig, CallConfig
+        from signature_kmers_tpu.golden.build import GoldenSignatureBuilder
+        from signature_kmers_tpu.golden.call import GoldenFunctionCaller
+        from signature_kmers_tpu.golden.distance import compute_distance
+        from signature_kmers_tpu.io import fasta
+        from signature_kmers_tpu.utils import paths
+
+        b = GoldenSignatureBuilder(BuildConfig())
+        b.load_function_data([], [], paths.populate_path_list(
+            [corpus / "Annotations"]))
+        b.load_fasta(paths.populate_path_list([corpus / "Seqs"]), False, set())
+        b.process_kept_functions(set())
+        b.extract_kmers(set())
+        b.process_kmers()
+        funcs = [b.fm.index_function_map[i]
+                 for i in sorted(b.fm.index_function_map)]
+        gc = GoldenFunctionCaller(b.kept_kmers.get, funcs,
+                                  CallConfig(ignore_hypothetical=True))
+        batch = fasta.SequenceBatch.from_file(corpus / "Seqs" / "1000.7")
+        res = compute_distance(gc, [batch])
+        want = sorted(f"{s1}\t{s2}\t{c}" for s1, s2, c in res.rows(False))
+        assert got == want
+        assert len(got) > 0
+
+    def test_matrix_distance_folder_restartable(self, corpus, data_dir, tmp_path):
+        out_dir = tmp_path / "out"
+        rc = cli_main([
+            "matrix-distance-folder", str(data_dir),
+            str(corpus / "Seqs"), str(out_dir)])
+        assert rc == 0
+        files = sorted(p.name for p in out_dir.iterdir())
+        assert len(files) == 6
+        # restartability: touch one output, re-run, content preserved
+        probe = out_dir / files[0]
+        probe.write_text("SENTINEL\n")
+        rc = cli_main([
+            "matrix-distance-folder", str(data_dir),
+            str(corpus / "Seqs"), str(out_dir)])
+        assert rc == 0
+        assert probe.read_text() == "SENTINEL\n"
+
+
+class TestNaturalBreaks:
+    def test_two_cluster_cutoff(self):
+        from signature_kmers_tpu.stats.natural_breaks import (
+            classify_jenks_fisher, score_cutoff)
+
+        vals = [1.0, 1.1, 1.2, 9.0, 9.1, 9.2]
+        breaks = classify_jenks_fisher(vals, 2)
+        assert breaks[0] == 1.0
+        assert breaks[1] == 9.0
+        assert score_cutoff(vals) == 9.0
+
+    def test_three_classes(self):
+        from signature_kmers_tpu.stats.natural_breaks import classify_jenks_fisher
+
+        vals = [0, 0.1, 5, 5.1, 10, 10.1]
+        breaks = classify_jenks_fisher(vals, 3)
+        assert breaks == [0.0, 5.0, 10.0]
+
+
+class TestService:
+    def test_endpoints(self, corpus, data_dir):
+        import asyncio
+        import urllib.request
+
+        from signature_kmers_tpu.service import server as srv
+
+        port = 16100
+        loop = asyncio.new_event_loop()
+        ready = None
+
+        def run():
+            loop.run_until_complete(
+                srv.serve_async(str(data_dir), port=port))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        import time
+
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(100):
+            try:
+                v = urllib.request.urlopen(base + "/version", timeout=2).read()
+                break
+            except Exception:
+                time.sleep(0.1)
+        else:
+            raise RuntimeError("service did not start")
+        assert b"signature_kmers_tpu" in v
+
+        fa = (corpus / "Queries" / "queries.fa").read_bytes()
+        req = urllib.request.Request(base + "/query", data=fa, method="POST")
+        resp = urllib.request.urlopen(req, timeout=60).read().decode()
+        lines = resp.splitlines()
+        assert len(lines) == 10
+        from tests.fixtures.gen_corpus import FUNCTIONS
+
+        assert lines[0].split("\t")[1] == FUNCTIONS[0]
+
+        urllib.request.urlopen(base + "/quit", timeout=5).read()
+        t.join(timeout=10)
+        assert not t.is_alive()
