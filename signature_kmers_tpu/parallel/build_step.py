@@ -1,0 +1,138 @@
+"""Multi-chip signature build step: dp-sharded windows, all-to-all k-mer
+routing, exact local selection.
+
+Scheme (the collective replacement for the reference's single-process TBB
+multimap, signature_build.h:61):
+
+  1. each dp shard owns a slice of the extracted window/attribute arrays;
+  2. windows are routed to their k-mer's owner shard (top hash bits) with
+     jax.lax.all_to_all, so every k-mer's full occurrence set lands on one
+     device — statistics are exact, no approximate merging;
+  3. each shard runs the same sort+segment selection as the single-chip
+     path (models.signature_builder._select_signatures_jax) on the windows
+     it owns.
+
+Entries are padded with SENTINEL keys (0xFFFFFFFF words) which sort last
+and are filtered after gathering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.signature_builder import _select_signatures_jax
+from ..ops import hashing
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
+                       threshold: float = 0.8, bucket_cap: int | None = None):
+    """Run the sharded selection.  Inputs are global flat arrays whose
+    length is divisible by the dp size.  Returns per-entry arrays (global,
+    padded with SENTINEL groups) matching _select_signatures_jax outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ndp = mesh.shape["dp"]
+    n = int(np.asarray(hi).shape[0])
+    assert n % ndp == 0, (n, ndp)
+    n_local = n // ndp
+    cap = bucket_cap or n_local  # worst case: every local window same owner
+
+    def route_and_select(hi_l, lo_l, f_l, o_l, p_l, s_l):
+        # --- bucket by owner shard -------------------------------------
+        valid = hi_l != SENTINEL
+        if ndp == 1:
+            owner_raw = jnp.zeros_like(hi_l, dtype=jnp.uint32)
+        else:
+            bits = ndp.bit_length() - 1
+            owner_raw = hashing.hash_kmer(hi_l, lo_l, jnp) >> np.uint32(32 - bits)
+        owner = jnp.where(valid, owner_raw, jnp.uint32(ndp))
+        order = jnp.argsort(owner, stable=True)
+        owner_s = owner[order]
+        idx = jnp.arange(n_local, dtype=jnp.int32)
+        # rank within bucket
+        bucket_start = jnp.searchsorted(
+            owner_s, jnp.arange(ndp + 1, dtype=jnp.uint32)).astype(jnp.int32)
+        rank = idx - bucket_start[jnp.minimum(
+            owner_s, jnp.uint32(ndp)).astype(jnp.int32)]
+
+        fields = jnp.stack([
+            jax.lax.bitcast_convert_type(hi_l[order], jnp.int32),
+            jax.lax.bitcast_convert_type(lo_l[order], jnp.int32),
+            f_l[order], o_l[order], p_l[order], s_l[order],
+        ], axis=-1)  # (n_local, 6)
+
+        send = jnp.full((ndp, cap, 6), -1, dtype=jnp.int32)
+        keep_entry = (owner_s < ndp) & (rank < cap)
+        # dropped entries are routed to the out-of-bounds bucket `ndp`
+        # and discarded by mode="drop"
+        send = send.at[
+            jnp.where(keep_entry, owner_s.astype(jnp.int32), ndp),
+            jnp.where(keep_entry, rank, 0)].set(fields, mode="drop")
+
+        recv = jax.lax.all_to_all(send, "dp", split_axis=0, concat_axis=0,
+                                  tiled=True)  # (ndp*cap? ...)
+        recv = recv.reshape(ndp * cap, 6)
+
+        r_hi = jax.lax.bitcast_convert_type(recv[:, 0], jnp.uint32)
+        r_lo = jax.lax.bitcast_convert_type(recv[:, 1], jnp.uint32)
+        r_valid = recv[:, 2] >= 0
+        r_hi = jnp.where(r_valid, r_hi, SENTINEL)
+        r_lo = jnp.where(r_valid, r_lo, SENTINEL)
+
+        out = _select_signatures_jax(
+            r_hi, r_lo,
+            jnp.where(r_valid, recv[:, 2], 0),
+            jnp.where(r_valid, recv[:, 3], 0),
+            jnp.where(r_valid, recv[:, 4], 0),
+            jnp.where(r_valid, recv[:, 5], 0),
+            threshold)
+        return out
+
+    fn = shard_map(
+        route_and_select, mesh=mesh,
+        in_specs=(P("dp"),) * 6,
+        out_specs=(P("dp"),) * 13,
+        check_rep=False,
+    )
+    import jax.numpy as jnp
+
+    return fn(jnp.asarray(hi, jnp.uint32), jnp.asarray(lo, jnp.uint32),
+              jnp.asarray(func, jnp.int32), jnp.asarray(off, jnp.int32),
+              jnp.asarray(plen, jnp.int32), jnp.asarray(sid, jnp.int32))
+
+
+def finalize_sharded(outputs):
+    """Host finalization of build_step_sharded outputs -> kept arrays.
+
+    Mirrors SignatureBuilder._select's host step, additionally dropping
+    SENTINEL padding groups."""
+    (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
+     s_best, sum_d2, med_lo, med_hi, avg_from_end) = map(np.asarray, outputs)
+    reps = kstart & keep & (hi1 != SENTINEL)
+    ridx = np.nonzero(reps)[0]
+    n_b = best_count[ridx].astype(np.int64)
+    s_b = s_best[ridx].astype(np.int64)
+    d2 = sum_d2[ridx].astype(np.int64)
+    mean_u16 = ((s_b // n_b) & 0xFFFF).astype(np.uint16)
+    ml = med_lo[ridx].astype(np.int64)
+    mh = med_hi[ridx].astype(np.int64)
+    median_u16 = (((ml + mh) // 2) & 0xFFFF).astype(np.uint16)
+    r = s_b - (s_b // n_b) * n_b
+    var_u16 = (((n_b * d2 - r * r) // (n_b * n_b)) & 0xFFFF).astype(np.uint16)
+    out = dict(
+        hi=hi1[ridx].astype(np.uint32),
+        lo=lo1[ridx].astype(np.uint32),
+        avg_from_end=(avg_from_end[ridx] & 0xFFFF).astype(np.uint16),
+        function_index=best_func[ridx].astype(np.uint16),
+        mean=mean_u16, median=median_u16, var=var_u16,
+    )
+    # global sort by key (shards own disjoint key ranges but hash order
+    # differs from key order)
+    order = np.lexsort((out["lo"], out["hi"]))
+    return {k: v[order] for k, v in out.items()}

@@ -7,7 +7,6 @@ separately dry-runs the multi-chip path, and benchmarks run on real TPU.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# NOTE: the TPU platform plugin in this environment ignores the
+# JAX_PLATFORMS env var; the config update below is what actually forces
+# the virtual 8-device CPU mesh for tests.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
