@@ -98,7 +98,6 @@ def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
         route_and_select, mesh=mesh,
         in_specs=(P("dp"),) * 6,
         out_specs=(P("dp"),) * 13,
-        check_rep=False,
     )
     import jax.numpy as jnp
 

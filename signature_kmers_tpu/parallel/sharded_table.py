@@ -121,6 +121,5 @@ def probe_sharded(mesh, table_arrays, qhi, qlo, max_probes: int):
         local, mesh=mesh,
         in_specs=(P("tp", None),) * 5 + (P("dp"), P("dp")),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-        check_rep=False,
     )
     return fn(*table_arrays, qhi, qlo)
