@@ -142,19 +142,64 @@ class FunctionCaller:
             codes, lengths = pad_bucketed(sub, cfg.call_batch)
             found, avg, func, mean, median, var = self.gather_hits_batch(
                 codes, lengths)
-            for i in range(len(sub)):
-                true_len = int(sub.lengths[i])
-                pos_list = np.nonzero(found[i])[0]
-                hits = [KmerHit(int(p), int(avg[i, p]), int(func[i, p]),
-                                int(mean[i, p]), int(median[i, p]),
-                                int(var[i, p])) for p in pos_list]
-                calls = process_hits(hits, float(true_len), self.config,
-                                     self.hypo_index)
+            results.extend(self._score_batch(
+                sub, found, avg, func, mean, median, var, keep_hits))
+        return results
+
+    def _score_batch(self, sub, found, avg, func, mean, median, var,
+                     keep_hits: bool) -> list[SequenceResult]:
+        """Automaton + best-call scoring over a gathered hit batch.
+
+        Uses the native C++ automaton (runtime/csrc) when available; the
+        exact Python spec otherwise."""
+        B = len(sub)
+        true_lens = sub.lengths.astype(np.int32)
+        found = found[:B].copy()
+        if self.config.ignore_hypothetical:
+            # skipped before any automaton state change
+            # (ref: call_functions.tcc:285-289)
+            found &= func[:B] != self.hypo_index
+
+        native = None
+        if not keep_hits:
+            from ..runtime import host
+            if host.available():
+                native = host
+
+        results: list[SequenceResult] = []
+        if native is not None:
+            b_idx, l_idx = np.nonzero(found)
+            counts = np.bincount(b_idx, minlength=B)
+            hit_off = np.concatenate([[0], np.cumsum(counts)])
+            (call_off, cs, ce, cc, cf, cm, cmad) = native.run_automaton(
+                l_idx, func[b_idx, l_idx], mean[b_idx, l_idx], hit_off,
+                true_lens, self.config.min_hits, self.config.max_gap,
+                self.config.k, self.config.mad_floor,
+                self.config.len_mad_window)
+            for i in range(B):
+                calls = [KmerCall(int(cs[j]), int(ce[j]), int(cc[j]),
+                                  int(cf[j]), int(cm[j]), float(cmad[j]))
+                         for j in range(call_off[i], call_off[i + 1])]
                 best = find_best_call(calls, self.function_at_index,
                                       self.config)
                 results.append(SequenceResult(
-                    seq_id=sub.ids[i], length=true_len, calls=calls,
-                    best=best, hits=hits if keep_hits else None))
+                    seq_id=sub.ids[i], length=int(true_lens[i]),
+                    calls=calls, best=best))
+            return results
+
+        for i in range(B):
+            true_len = int(true_lens[i])
+            pos_list = np.nonzero(found[i])[0]
+            hits = [KmerHit(int(p), int(avg[i, p]), int(func[i, p]),
+                            int(mean[i, p]), int(median[i, p]),
+                            int(var[i, p])) for p in pos_list]
+            calls = process_hits(hits, float(true_len), self.config,
+                                 self.hypo_index)
+            best = find_best_call(calls, self.function_at_index,
+                                  self.config)
+            results.append(SequenceResult(
+                seq_id=sub.ids[i], length=true_len, calls=calls,
+                best=best, hits=hits if keep_hits else None))
         return results
 
     def call_file(self, path, keep_hits: bool = False) -> list[SequenceResult]:

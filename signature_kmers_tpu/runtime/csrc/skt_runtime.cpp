@@ -1,0 +1,216 @@
+// Native host runtime for signature_kmers_tpu.
+//
+// Two hot host-side pieces the Python layer delegates here:
+//
+//  1. skt_scan_fasta — buffered FASTA scan producing array-shaped output
+//     (6-bit residue codes + offsets + id/defline heaps) for zero-copy
+//     feed to the device pipelines.  Semantics mirror the reference's
+//     char DFA (ref: fasta_parser.h:38-144) as specified in io/fasta.py.
+//
+//  2. skt_automaton — the exact sequential per-sequence hit automaton
+//     (ref: call_functions.tcc:35-103,259-338), run over device-gathered
+//     hit arrays.  Double-precision statistics match the behavioral spec
+//     (golden/call.py) bit-for-bit.
+//
+// Built as a plain C ABI shared library; bound via ctypes (no pybind11 in
+// this environment).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FASTA scanner
+// ---------------------------------------------------------------------------
+
+// Returns the number of sequences parsed (<= capacity bounds guaranteed:
+// n_codes <= n, id/def heaps <= n bytes, n_seqs <= n/2 + 1).
+// code_off/id_off/def_off each hold n_seqs+1 entries.
+long skt_scan_fasta(const char *buf, long n,
+                    unsigned char *codes, long *code_off,
+                    char *id_heap, long *id_off,
+                    char *def_heap, long *def_off) {
+    // 6-bit code table per io/alphabet.py
+    static unsigned char code_tab[256];
+    static bool keep_data[256];
+    static bool is_alpha_tab[256];
+    static bool init_done = false;
+    if (!init_done) {
+        for (int i = 0; i < 256; i++) { code_tab[i] = 63; keep_data[i] = false; is_alpha_tab[i] = false; }
+        for (int c = 'A'; c <= 'Z'; c++) { code_tab[c] = (unsigned char)(c - 'A'); keep_data[c] = true; is_alpha_tab[c] = true; }
+        for (int c = 'a'; c <= 'z'; c++) { code_tab[c] = (unsigned char)(c - 'a' + 26); keep_data[c] = true; is_alpha_tab[c] = true; }
+        code_tab[(int)'*'] = 52; keep_data[(int)'*'] = true;
+        init_done = true;
+    }
+
+    long nseq = 0;
+    long ncodes = 0, nid = 0, ndef = 0;
+    code_off[0] = 0; id_off[0] = 0; def_off[0] = 0;
+
+    long i = 0;
+    bool in_seq = false;
+    bool first_data_line = false;
+    while (i < n) {
+        // find end of line
+        long j = i;
+        while (j < n && buf[j] != '\n') j++;
+        long len = j - i;
+        // strip CR anywhere (handled by skipping below)
+        if (len > 0 && buf[i] == '>') {
+            if (in_seq) {
+                nseq++;
+                code_off[nseq] = ncodes;
+                id_off[nseq] = nid;
+                def_off[nseq] = ndef;
+            }
+            in_seq = true;
+            first_data_line = true;
+            // id = up to first blank; def = remainder INCLUDING the blank
+            long p = i + 1;
+            while (p < j && buf[p] != ' ' && buf[p] != '\t' && buf[p] != '\r') {
+                id_heap[nid++] = buf[p++];
+            }
+            while (p < j) {
+                if (buf[p] != '\r') def_heap[ndef++] = buf[p];
+                p++;
+            }
+        } else if (in_seq) {
+            long p = i;
+            if (!first_data_line) {
+                // continuation line: drop leading non-letters
+                // (s_id_or_data accepts only isalpha, fasta_parser.h:109-133)
+                while (p < j && !is_alpha_tab[(unsigned char)buf[p]]) p++;
+            } else {
+                // first data line starts in s_data where '*' is legal;
+                // other non-letters at line start are dropped one by one
+                while (p < j && !keep_data[(unsigned char)buf[p]]) p++;
+            }
+            for (; p < j; p++) {
+                unsigned char c = (unsigned char)buf[p];
+                if (keep_data[c]) codes[ncodes++] = code_tab[c];
+            }
+            if (len > 0) first_data_line = false;
+        }
+        i = j + 1;
+    }
+    if (in_seq) {
+        nseq++;
+        code_off[nseq] = ncodes;
+        id_off[nseq] = nid;
+        def_off[nseq] = ndef;
+    }
+    return nseq;
+}
+
+// ---------------------------------------------------------------------------
+// Hit automaton
+// ---------------------------------------------------------------------------
+
+static double median_of(std::vector<double> &v) {
+    // boost::math::statistics::median semantics: even n averages the two
+    // middle elements (ref: call_functions.tcc:52)
+    std::sort(v.begin(), v.end());
+    size_t m = v.size();
+    if (m == 0) return 0.0;
+    if (m % 2) return v[m / 2];
+    return (v[m / 2 - 1] + v[m / 2]) / 2.0;
+}
+
+struct Hit { int32_t pos; int32_t func; int32_t mean; };
+
+// Runs the automaton for each sequence; emits calls contiguously.
+// Output capacity must be >= total number of hits (one call per flush max).
+// call_offsets has n_seqs+1 entries.  Returns total calls.
+long skt_automaton(const int32_t *hit_pos, const int32_t *hit_func,
+                   const int32_t *hit_mean,
+                   const int64_t *hit_offsets, const int32_t *seq_lens,
+                   long n_seqs,
+                   int min_hits, int max_gap, int kmer_size,
+                   double mad_floor, double len_window,
+                   int32_t *call_start, int32_t *call_end,
+                   int32_t *call_count, int32_t *call_func,
+                   int32_t *call_median, float *call_mad,
+                   int64_t *call_offsets) {
+    long ncalls = 0;
+    std::vector<Hit> hits;
+    std::vector<double> lengths, devs;
+    call_offsets[0] = 0;
+
+    for (long s = 0; s < n_seqs; s++) {
+        hits.clear();
+        int32_t current_fI = -1;  // UndefinedFunction stand-in (no valid -1)
+        double seqlen = (double)seq_lens[s];
+
+        // HitSet::process (ref: call_functions.tcc:35-103)
+        auto process = [&]() {
+            int fI_count = 0;
+            int32_t last_match_pos = 0;
+            lengths.clear();
+            for (const Hit &h : hits) {
+                if (h.func == current_fI) {
+                    fI_count++;
+                    last_match_pos = h.pos;
+                    lengths.push_back((double)h.mean);
+                }
+            }
+            if (fI_count > 0) {
+                double mean_length = 0.0;
+                for (double x : lengths) mean_length += x;
+                mean_length /= (double)lengths.size();
+                devs = lengths;
+                double median_length = median_of(devs);
+                for (double &x : devs) x = std::fabs(x - median_length);
+                double mad = median_of(devs);
+                if (mad == 0.0) mad = mad_floor;
+                double lo = mean_length - len_window * mad;
+                double hi = mean_length + len_window * mad;
+                if (fI_count >= min_hits && seqlen >= lo && seqlen <= hi) {
+                    call_start[ncalls] = hits[0].pos;
+                    call_end[ncalls] = last_match_pos + kmer_size - 1;
+                    call_count[ncalls] = fI_count;
+                    call_func[ncalls] = current_fI;
+                    call_median[ncalls] = (int32_t)median_length;
+                    call_mad[ncalls] = (float)mad;
+                    ncalls++;
+                }
+            }
+            // tail: keep the last two hits when they agree on a new
+            // function (ref: call_functions.tcc:88-102; single-hit case is
+            // UB in the reference — defined here as clear, see FIDELITY.md)
+            size_t m = hits.size();
+            if (m >= 2 && hits[m - 2].func != current_fI &&
+                hits[m - 2].func == hits[m - 1].func) {
+                current_fI = hits[m - 2].func;
+                Hit a = hits[m - 2], b = hits[m - 1];
+                hits.clear();
+                hits.push_back(a);
+                hits.push_back(b);
+            } else {
+                hits.clear();
+            }
+        };
+
+        for (int64_t h = hit_offsets[s]; h < hit_offsets[s + 1]; h++) {
+            Hit cur{hit_pos[h], hit_func[h], hit_mean[h]};
+            if (!hits.empty() && hits.back().pos + max_gap < cur.pos) {
+                if ((int)hits.size() >= min_hits) process();
+                else hits.clear();
+            }
+            if (hits.empty()) current_fI = cur.func;
+            hits.push_back(cur);
+            if (hits.size() > 1 && current_fI != cur.func) {
+                size_t m = hits.size();
+                if (hits[m - 2].func == hits[m - 1].func) process();
+            }
+        }
+        if ((int)hits.size() >= min_hits) process();
+        call_offsets[s + 1] = ncalls;
+    }
+    return ncalls;
+}
+
+}  // extern "C"

@@ -1,0 +1,151 @@
+"""ctypes bindings for the native host runtime (csrc/skt_runtime.cpp).
+
+Compiled on demand with g++ -O3 into a per-user cache directory; every
+entry point has a pure-Python fallback (io/fasta.py, golden/call.py), so
+the package works without a toolchain — just slower on the host side.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = Path(__file__).parent / "csrc" / "skt_runtime.cpp"
+
+
+def _build_dir() -> Path:
+    d = Path(os.environ.get(
+        "SKT_NATIVE_CACHE",
+        str(Path.home() / ".cache" / "signature_kmers_tpu" / "native")))
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        src = _SRC.read_bytes()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        so = _build_dir() / f"skt_runtime_{tag}.so"
+        if not so.exists():
+            tmp = so.with_suffix(".so.tmp")
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", str(_SRC), "-o", str(tmp)],
+                check=True, capture_output=True)
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(str(so))
+
+        lib.skt_scan_fasta.restype = ctypes.c_long
+        lib.skt_scan_fasta.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.skt_automaton.restype = ctypes.c_long
+        lib.skt_automaton.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def read_fasta_batch(path):
+    """Native FASTA scan -> SequenceBatch."""
+    from ..io.fasta import SequenceBatch
+
+    lib = _load()
+    data = Path(path).read_bytes()
+    n = len(data)
+    cap_seqs = n // 2 + 2
+    codes = np.empty(n + 1, dtype=np.uint8)
+    code_off = np.empty(cap_seqs + 1, dtype=np.int64)
+    id_heap = np.empty(n + 1, dtype=np.uint8)
+    id_off = np.empty(cap_seqs + 1, dtype=np.int64)
+    def_heap = np.empty(n + 1, dtype=np.uint8)
+    def_off = np.empty(cap_seqs + 1, dtype=np.int64)
+    nseq = lib.skt_scan_fasta(
+        data, n, _ptr(codes), _ptr(code_off), _ptr(id_heap), _ptr(id_off),
+        _ptr(def_heap), _ptr(def_off))
+    ids = []
+    defs = []
+    ib = id_heap.tobytes()
+    db = def_heap.tobytes()
+    for i in range(nseq):
+        ids.append(ib[id_off[i]:id_off[i + 1]].decode("latin-1"))
+        defs.append(db[def_off[i]:def_off[i + 1]].decode("latin-1"))
+    # drop empty-id records like every reference callback does
+    keep = [i for i, s in enumerate(ids) if s]
+    if len(keep) != nseq:
+        lens = np.diff(code_off[:nseq + 1])
+        new_codes = np.concatenate(
+            [codes[code_off[i]:code_off[i + 1]] for i in keep]) \
+            if keep else np.zeros(0, dtype=np.uint8)
+        offs = np.concatenate([[0], np.cumsum(lens[keep])]).astype(np.int32)
+        return SequenceBatch(new_codes, offs,
+                             [ids[i] for i in keep], [defs[i] for i in keep])
+    return SequenceBatch(
+        codes=codes[:code_off[nseq]].copy(),
+        offsets=code_off[:nseq + 1].astype(np.int32).copy(),
+        ids=ids, deflines=defs)
+
+
+def run_automaton(hit_pos, hit_func, hit_mean, hit_offsets, seq_lens,
+                  min_hits: int, max_gap: int, k: int,
+                  mad_floor: float, len_window: float):
+    """Batch automaton over flat hit arrays.
+
+    Returns (call_offsets[n_seqs+1], start, end, count, func, median, mad)
+    with calls for sequence s in [call_offsets[s], call_offsets[s+1]).
+    """
+    lib = _load()
+    hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int32)
+    hit_func = np.ascontiguousarray(hit_func, dtype=np.int32)
+    hit_mean = np.ascontiguousarray(hit_mean, dtype=np.int32)
+    hit_offsets = np.ascontiguousarray(hit_offsets, dtype=np.int64)
+    seq_lens = np.ascontiguousarray(seq_lens, dtype=np.int32)
+    n_seqs = seq_lens.shape[0]
+    cap = max(int(hit_pos.shape[0]), 1)
+    start = np.empty(cap, dtype=np.int32)
+    end = np.empty(cap, dtype=np.int32)
+    count = np.empty(cap, dtype=np.int32)
+    func = np.empty(cap, dtype=np.int32)
+    med = np.empty(cap, dtype=np.int32)
+    mad = np.empty(cap, dtype=np.float32)
+    call_off = np.empty(n_seqs + 1, dtype=np.int64)
+    total = lib.skt_automaton(
+        _ptr(hit_pos), _ptr(hit_func), _ptr(hit_mean), _ptr(hit_offsets),
+        _ptr(seq_lens), n_seqs, min_hits, max_gap, k,
+        mad_floor, len_window,
+        _ptr(start), _ptr(end), _ptr(count), _ptr(func), _ptr(med),
+        _ptr(mad), _ptr(call_off))
+    return (call_off, start[:total], end[:total], count[:total],
+            func[:total], med[:total], mad[:total])
