@@ -1,0 +1,142 @@
+"""Benchmark: query calling throughput on the default JAX device.
+
+Prints ONE JSON line:
+  {"metric": "call_seqs_per_s_per_chip", "value": N, "unit": "seqs/s",
+   "vs_baseline": R}
+
+value       = end-to-end sequences/s of the batched caller (device k-mer
+              pack + bucketed-cuckoo HBM probe + native automaton +
+              best-call scoring) on one chip.
+vs_baseline = value / (single-thread reference-style CPU caller measured
+              on this machine: one table probe per residue + the same
+              sequential automaton, in C++ — the reference publishes no
+              numbers, see BASELINE.md).
+
+Workload is realistic production scale: a ~20M-entry signature table
+(~1 GB with aux values — far beyond CPU cache, as real PATRIC tables are),
+queries that mostly hit (annotation of family members), 300-residue
+proteins.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_KMERS_TARGET = 20_000_000
+N_QUERIES = 16384
+SEQ_LEN = 300
+N_FUNCTIONS = 50_000
+
+
+def build_workload(seed=7):
+    from signature_kmers_tpu.core import alphabet
+    from signature_kmers_tpu.table.bucket_table import BucketKmerTable
+    from signature_kmers_tpu.table.kmer_table import KmerTable
+
+    rng = np.random.default_rng(seed)
+    aa = alphabet.encode_seq(alphabet.AA20)
+
+    # one long synthetic proteome; every window is a signature k-mer
+    corpus = aa[rng.integers(0, 20, N_KMERS_TARGET + 7)].astype(np.uint8)
+    hi, lo = alphabet.pack_codes_np(corpus)
+    fn_of_window = ((np.arange(hi.shape[0]) // SEQ_LEN)
+                    % N_FUNCTIONS).astype(np.uint32)
+    packed = (hi.astype(np.uint64) << 24) | lo
+    _, idx = np.unique(packed, return_index=True)
+    idx.sort()
+    hi, lo, fn = hi[idx], lo[idx], fn_of_window[idx]
+    n = hi.shape[0]
+    v0, v1, v2 = KmerTable.pack_values(
+        rng.integers(0, SEQ_LEN, n), fn,
+        np.full(n, SEQ_LEN, dtype=np.uint32),
+        np.full(n, SEQ_LEN, dtype=np.uint32),
+        np.full(n, 900, dtype=np.uint32))
+    t0 = time.perf_counter()
+    table = BucketKmerTable.build(hi, lo, v0.astype(np.uint32),
+                                  v1.astype(np.uint32), v2.astype(np.uint32))
+    print(f"table build: {time.perf_counter()-t0:.1f}s for {n:,} keys, "
+          f"{table.n_buckets:,} buckets (load {n/table.size:.2f})",
+          file=sys.stderr)
+
+    # queries: windows of the corpus with ~3% point mutations
+    starts = rng.integers(0, N_KMERS_TARGET - SEQ_LEN, N_QUERIES)
+    codes = np.stack([corpus[s:s + SEQ_LEN] for s in starts]).copy()
+    nmut = max(1, int(0.03 * SEQ_LEN))
+    for q in range(N_QUERIES):
+        pos = rng.integers(0, SEQ_LEN, nmut)
+        codes[q, pos] = aa[rng.integers(0, 20, nmut)]
+    function_index = [f"fn{i}" for i in range(N_FUNCTIONS)] + [
+        "hypothetical protein"]
+    return table, function_index, codes
+
+
+def main():
+    from signature_kmers_tpu.core.config import Config, DeviceConfig
+    from signature_kmers_tpu.io.fasta import SequenceBatch
+    from signature_kmers_tpu.models.function_caller import FunctionCaller
+    from signature_kmers_tpu.runtime import host
+    from signature_kmers_tpu.utils.jaxcache import enable_cache
+
+    enable_cache()
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+
+    table, function_index, codes = build_workload()
+    n_queries, seq_len = codes.shape
+
+    cfg = Config()
+    dc = DeviceConfig(call_batch=4096)
+    caller = FunctionCaller(table, function_index, cfg.call, dc)
+
+    flat = codes.reshape(-1)
+    offsets = (np.arange(n_queries + 1) * seq_len).astype(np.int32)
+    ids = [f"q{i}" for i in range(n_queries)]
+    batch = SequenceBatch(flat, offsets, ids, [""] * n_queries)
+
+    # --- TPU/device end-to-end ------------------------------------------
+    t0 = time.perf_counter()
+    res = caller.call_batch(batch)  # warmup incl. compile
+    warm = time.perf_counter() - t0
+    n_called = sum(r.best.function_index != 0xFFFF for r in res)
+    print(f"warmup (incl. compile): {warm:.2f}s; calls {n_called}/{n_queries}",
+          file=sys.stderr)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        caller.call_batch(batch)
+    dt = (time.perf_counter() - t0) / reps
+    value = n_queries / dt
+    print(f"device path: {dt:.3f}s/batch -> {value:,.0f} seqs/s",
+          file=sys.stderr)
+
+    # --- CPU reference-style baseline -----------------------------------
+    vs_baseline = 0.0
+    if host.available():
+        sub = min(n_queries, 2048)
+        so = (offsets[:sub + 1]).astype(np.int64)
+        t0 = time.perf_counter()
+        host.cpu_baseline_call(flat[:so[-1]], so, table,
+                               cfg.call.min_hits, cfg.call.max_gap,
+                               cfg.call.k, cfg.call.mad_floor,
+                               cfg.call.len_mad_window)
+        cpu_dt = time.perf_counter() - t0
+        cpu_rate = sub / cpu_dt
+        print(f"cpu baseline: {cpu_rate:,.0f} seqs/s (single thread)",
+              file=sys.stderr)
+        vs_baseline = value / cpu_rate
+
+    print(json.dumps({
+        "metric": "call_seqs_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "seqs/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

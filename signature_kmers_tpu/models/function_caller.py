@@ -4,20 +4,20 @@ Pipeline (ref architecture: call_functions.tcc:259-338, redesigned TPU-first):
 
   FASTA -> padded (B, L) code batch            (host, native scanner)
         -> rolling k-mer pack + validity       (device, ops.kmer_pack)
-        -> batched hash probe                  (device, ops.probe)
-        -> per-sequence hit automaton          (host exact / device scan)
+        -> bucketed-cuckoo probe, 2 gathers    (device, ops.probe.probe_bucket)
+        -> per-sequence hit automaton          (native C++ / Python spec)
         -> find_best_call scoring              (host exact)
 
-The automaton and scoring replicate the golden spec exactly; the device
-path only accelerates the per-residue work (packing + table probes), which
-is where the reference spends its time (one cmph_search + mmap read per
-residue, cmph_kmer.h:139-147).
+The reference spends its time doing one cmph_search + one random mmap read
+per residue position (cmph_kmer.h:139-147); here that is two 48-byte row
+gathers per window across the whole batch, and only a found-mask plus a
+packed (function, mean) word per position returns to the host — the full
+StoredKmerData is gathered only for debug/matrix paths.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable
 
 import numpy as np
 
@@ -27,8 +27,8 @@ from ..core.function_map import UNDEFINED_FUNCTION
 from ..golden.call import (BestCall, KmerCall, KmerHit, find_best_call,
                            process_hits)
 from ..io import fasta as fasta_io
-from ..ops import kmer_pack, probe
-from ..table.kmer_table import KmerTable
+from ..ops import kmer_pack
+from ..table.bucket_table import BucketKmerTable
 
 
 def pad_bucketed(sub: fasta_io.SequenceBatch, rows: int):
@@ -60,9 +60,9 @@ class SequenceResult:
 
 
 class FunctionCaller:
-    """Batched caller against a KmerTable."""
+    """Batched caller against a BucketKmerTable."""
 
-    def __init__(self, table: KmerTable, function_index: list[str],
+    def __init__(self, table: BucketKmerTable, function_index: list[str],
                  config: CallConfig = CallConfig(),
                  device_config: DeviceConfig = DeviceConfig(),
                  use_device: bool = True):
@@ -78,12 +78,7 @@ class FunctionCaller:
             if config.ignore_hypothetical:
                 # the reference exits here (call_functions.tcc:269-274)
                 raise ValueError("Cannot find hypothetical protein index")
-        self._dev = None
-
-    def _device_tables(self):
-        if self._dev is None:
-            self._dev = self.table.device_arrays()
-        return self._dev
+        self._gather_jit = {}
 
     def function_at_index(self, idx: int) -> str:
         if idx == UNDEFINED_FUNCTION:
@@ -92,37 +87,73 @@ class FunctionCaller:
 
     # -- hit gathering -----------------------------------------------------
 
-    def gather_hits_batch(self, codes: np.ndarray, lengths: np.ndarray):
-        """(B, L) codes -> (found, avg, func, mean, median, var) numpy
-        arrays of shape (B, L), position-aligned."""
+    def _gather_fn(self, with_aux: bool):
+        if with_aux not in self._gather_jit:
+            import jax
+            import jax.numpy as jnp
+
+            from ..ops import probe as probe_ops
+
+            arrays = self.table.device_arrays(with_aux=with_aux)
+            packed = arrays[0]
+            aux = arrays[1] if with_aux else None
+            salt = self.table.salt
+
+            @jax.jit
+            def f(codes, lengths):
+                win = kmer_pack.pack_windows(codes, lengths)
+                res = probe_ops.probe_bucket(packed, win["hi"], win["lo"],
+                                             salt, aux)
+                found = res[0] & win["call_valid"]
+                return (found,) + tuple(res[1:])
+
+            self._gather_jit[with_aux] = f
+        return self._gather_jit[with_aux]
+
+    def gather_hits_batch(self, codes: np.ndarray, lengths: np.ndarray,
+                          need_aux: bool = False):
+        """(B, L) codes -> position-aligned hit arrays.
+
+        Returns (found, func, mean) or
+        (found, func, mean, avg, median, var) when need_aux."""
         if self.use_device:
             import jax.numpy as jnp
 
-            t = self._device_tables()
-            win = kmer_pack.pack_windows(jnp.asarray(codes),
-                                         jnp.asarray(lengths))
-            found, r0, r1, r2 = probe.probe_table(
-                *t, win["hi"], win["lo"], self.table.max_probes)
-            found = found & win["call_valid"]
-            found, r0, r1, r2 = map(np.asarray, (found, r0, r1, r2))
+            f = self._gather_fn(need_aux)
+            out = f(jnp.asarray(codes), jnp.asarray(lengths))
+            out = tuple(np.asarray(o) for o in out)
         else:
-            B, L = codes.shape
-            hi = np.zeros((B, L), dtype=np.uint32)
-            lo = np.zeros((B, L), dtype=np.uint32)
-            valid = np.zeros((B, L), dtype=bool)
-            for i in range(B):
-                n = int(lengths[i])
-                row = codes[i, :n]
-                h, l = alphabet.pack_codes_np(row)
-                hi[i, :max(n - 7, 0)] = h
-                lo[i, :max(n - 7, 0)] = l
-                from ..golden.call import valid_call_windows
-                v = valid_call_windows(row)
-                valid[i, :v.shape[0]] = v
-            found, r0, r1, r2 = self.table.lookup_np(hi, lo)
-            found &= valid
-        avg, func, mean, median, var = KmerTable.unpack_values(r0, r1, r2)
-        return found, avg, func, mean, median, var
+            out = self._gather_host(codes, lengths, need_aux)
+        found, fm = out[0], out[1]
+        func = (fm >> 16).astype(np.int32)
+        mean = (fm & 0xFFFF).astype(np.int32)
+        if not need_aux:
+            return found, func, mean
+        r0, r1, r2 = out[2], out[3], out[4]
+        avg, _f2, _mean2, median, var = BucketKmerTable_unpack(r0, r1, r2)
+        return found, func, mean, avg, median, var
+
+    def _gather_host(self, codes, lengths, need_aux):
+        from ..golden.call import valid_call_windows
+
+        B, L = codes.shape
+        hi = np.zeros((B, L), dtype=np.uint32)
+        lo = np.zeros((B, L), dtype=np.uint32)
+        valid = np.zeros((B, L), dtype=bool)
+        for i in range(B):
+            n = int(lengths[i])
+            row = codes[i, :n]
+            h, l = alphabet.pack_codes_np(row)
+            hi[i, :max(n - 7, 0)] = h
+            lo[i, :max(n - 7, 0)] = l
+            v = valid_call_windows(row)
+            valid[i, :v.shape[0]] = v
+        found, r0, r1, r2 = self.table.lookup_np(hi, lo)
+        found &= valid
+        fm = ((r0 >> 16) << 16) | (r1 & 0xFFFF)
+        if need_aux:
+            return found, fm, r0, r1, r2
+        return found, fm
 
     # -- end-to-end --------------------------------------------------------
 
@@ -140,25 +171,23 @@ class FunctionCaller:
                 deflines=batch.deflines[s:e],
             )
             codes, lengths = pad_bucketed(sub, cfg.call_batch)
-            found, avg, func, mean, median, var = self.gather_hits_batch(
-                codes, lengths)
-            results.extend(self._score_batch(
-                sub, found, avg, func, mean, median, var, keep_hits))
+            out = self.gather_hits_batch(codes, lengths, need_aux=keep_hits)
+            results.extend(self._score_batch(sub, out, keep_hits))
         return results
 
-    def _score_batch(self, sub, found, avg, func, mean, median, var,
-                     keep_hits: bool) -> list[SequenceResult]:
+    def _score_batch(self, sub, gathered, keep_hits: bool) -> list[SequenceResult]:
         """Automaton + best-call scoring over a gathered hit batch.
 
         Uses the native C++ automaton (runtime/csrc) when available; the
         exact Python spec otherwise."""
         B = len(sub)
         true_lens = sub.lengths.astype(np.int32)
-        found = found[:B].copy()
+        found = gathered[0][:B].copy()
+        func, mean = gathered[1][:B], gathered[2][:B]
         if self.config.ignore_hypothetical:
             # skipped before any automaton state change
             # (ref: call_functions.tcc:285-289)
-            found &= func[:B] != self.hypo_index
+            found &= func != self.hypo_index
 
         native = None
         if not keep_hits:
@@ -187,12 +216,18 @@ class FunctionCaller:
                     calls=calls, best=best))
             return results
 
+        if keep_hits:
+            avg, median, var = gathered[3][:B], gathered[4][:B], gathered[5][:B]
         for i in range(B):
             true_len = int(true_lens[i])
             pos_list = np.nonzero(found[i])[0]
-            hits = [KmerHit(int(p), int(avg[i, p]), int(func[i, p]),
-                            int(mean[i, p]), int(median[i, p]),
-                            int(var[i, p])) for p in pos_list]
+            if keep_hits:
+                hits = [KmerHit(int(p), int(avg[i, p]), int(func[i, p]),
+                                int(mean[i, p]), int(median[i, p]),
+                                int(var[i, p])) for p in pos_list]
+            else:
+                hits = [KmerHit(int(p), 0, int(func[i, p]),
+                                int(mean[i, p]), 0, 0) for p in pos_list]
             calls = process_hits(hits, float(true_len), self.config,
                                  self.hypo_index)
             best = find_best_call(calls, self.function_at_index,
@@ -204,3 +239,11 @@ class FunctionCaller:
 
     def call_file(self, path, keep_hits: bool = False) -> list[SequenceResult]:
         return self.call_batch(fasta_io.read_fasta_batch(path), keep_hits)
+
+
+def BucketKmerTable_unpack(r0, r1, r2):
+    """-> (avg_from_end, function_index, mean, median, var)"""
+    r0 = np.asarray(r0)
+    r1 = np.asarray(r1)
+    return (r0 & 0xFFFF, r0 >> 16, r1 & 0xFFFF, r1 >> 16,
+            np.asarray(r2) & 0xFFFF)

@@ -114,17 +114,28 @@ class MatrixDistance:
         Also stashes the packed window words for host-side dedupe."""
         caller = self.caller
         if self.use_device:
+            import jax
             import jax.numpy as jnp
 
-            t = caller._device_tables()
-            from ..ops import probe as probe_ops
+            if not hasattr(self, "_jit_gather"):
+                from ..ops import probe as probe_ops
 
-            win = kmer_pack.pack_windows(jnp.asarray(codes), jnp.asarray(lengths))
-            found, r0, r1, r2 = probe_ops.probe_table(
-                *t, win["hi"], win["lo"], self.table.max_probes)
-            found = found & win["call_valid"]
-            self._hi = np.asarray(win["hi"])
-            self._lo = np.asarray(win["lo"])
+                packed, aux = self.table.device_arrays(with_aux=True)
+                salt = self.table.salt
+
+                @jax.jit
+                def f(codes, lengths):
+                    win = kmer_pack.pack_windows(codes, lengths)
+                    found, fm, r0, r1, r2 = probe_ops.probe_bucket(
+                        packed, win["hi"], win["lo"], salt, aux)
+                    return (found & win["call_valid"], r0, r1, r2,
+                            win["hi"], win["lo"])
+
+                self._jit_gather = f
+            found, r0, r1, r2, whi, wlo = self._jit_gather(
+                jnp.asarray(codes), jnp.asarray(lengths))
+            self._hi = np.asarray(whi)
+            self._lo = np.asarray(wlo)
             found, r0, r1, r2 = map(np.asarray, (found, r0, r1, r2))
         else:
             from ..core import alphabet

@@ -16,6 +16,7 @@ from ..core.config import Config
 from ..io import fasta as fasta_io, formats
 from ..models.function_caller import FunctionCaller
 from ..models.signature_builder import KeptKmerArrays, SignatureBuilder
+from ..table.bucket_table import BucketKmerTable
 from ..table.kmer_table import KmerTable
 from ..utils import paths
 
@@ -24,7 +25,7 @@ from ..utils import paths
 class BuildResult:
     builder: SignatureBuilder
     kept: KeptKmerArrays
-    table: KmerTable
+    table: BucketKmerTable
     function_index: list[str]
     kmer_data_dir: Path | None
 
@@ -133,7 +134,13 @@ def load_data_dir(data_dir, config: Config = Config(),
     (ref: kmers-call-functions.cc:93-106)."""
     data_dir = Path(data_dir)
     base = data_dir / "kmer_data"
-    if not KmerTable.exists(base):
+    if BucketKmerTable.exists(base):
+        table = BucketKmerTable.load(base)
+    elif KmerTable.exists(base):
+        # legacy linear-table artifact: convert on load
+        lin = KmerTable.load(base)
+        table = BucketKmerTable.build(*lin.occupied(), config.table)
+    else:
         # interop: accept a final.kmers text dump (partial values)
         fk = data_dir / "final.kmers"
         if fk.is_file():
@@ -141,11 +148,9 @@ def load_data_dir(data_dir, config: Config = Config(),
 
             hi, lo, avg, fn = formats.read_final_kmers(fk)
             z = np.zeros(hi.shape[0], dtype=np.uint16)
-            table = KmerTable.from_stats(hi, lo, avg, fn, z, z, z,
-                                         config.table)
+            table = BucketKmerTable.from_stats(hi, lo, avg, fn, z, z, z,
+                                               config.table)
         else:
             raise FileNotFoundError(f"No kmer table at {base}")
-    else:
-        table = KmerTable.load(base)
     function_index = formats.read_function_index(data_dir / "function.index")
     return table, function_index

@@ -51,7 +51,15 @@ class KeptKmerArrays:
     def __len__(self):
         return int(self.hi.shape[0])
 
-    def to_table(self, config: TableConfig = TableConfig()) -> KmerTable:
+    def to_table(self, config: TableConfig = TableConfig()):
+        """Production bucketed-cuckoo table (table/bucket_table.py)."""
+        from ..table.bucket_table import BucketKmerTable
+
+        return BucketKmerTable.from_stats(
+            self.hi, self.lo, self.avg_from_end, self.function_index,
+            self.mean, self.median, self.var, config)
+
+    def to_linear_table(self, config: TableConfig = TableConfig()) -> KmerTable:
         return KmerTable.from_stats(
             self.hi, self.lo, self.avg_from_end, self.function_index,
             self.mean, self.median, self.var, config)

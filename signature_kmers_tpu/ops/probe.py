@@ -76,3 +76,57 @@ def unpack_values_jnp(r0, r1, r2):
     """-> (avg_from_end, function_index, mean, median, var) as uint32."""
     m = jnp.uint32(0xFFFF)
     return (r0 & m, r0 >> 16, r1 & m, r1 >> 16, r2 & m)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-cuckoo probe: exactly two 48B row-gathers per query
+# ---------------------------------------------------------------------------
+
+
+def probe_bucket(packed, qhi, qlo, salt: int, aux=None):
+    """Probe a BucketKmerTable (see table/bucket_table.py).
+
+    packed: (n_buckets, 12) uint32 rows [khi*4, klo*4, fm*4].
+    qhi/qlo: uint32 queries, any shape.
+    aux: optional (n_buckets, 12) rows [v0*4, v1*4, v2*4]; when given the
+    full StoredKmerData words are gathered for hits.
+
+    Returns (found, fm) or (found, fm, r0, r1, r2); fm = func<<16 | mean.
+    Call under jit; `salt` must be static (close over it).
+    """
+    from ..table.bucket_table import bucket_hashes
+
+    nb = packed.shape[0]
+    qhi = qhi.astype(jnp.uint32)
+    qlo = qlo.astype(jnp.uint32)
+    b1, b2 = bucket_hashes(qhi, qlo, salt, nb, jnp)
+
+    def match(b):
+        row = packed[b]  # (..., 12)
+        m = ((row[..., 0:4] == qhi[..., None])
+             & (row[..., 4:8] == qlo[..., None]))
+        f = m.any(axis=-1)
+        # at most one slot matches; masked sum selects it exactly
+        fm = jnp.sum(row[..., 8:12] * m.astype(jnp.uint32), axis=-1)
+        return f, fm, m
+
+    f1, fm1, m1 = match(b1)
+    f2, fm2, m2 = match(b2)
+    found = f1 | f2
+    fm = jnp.where(f1, fm1, fm2)
+    if aux is None:
+        return found, fm
+
+    # full-value path: one more row gather at the winning bucket
+    bwin = jnp.where(f1, b1, b2)
+    mwin = jnp.where(f1[..., None], m1, m2).astype(jnp.uint32)
+    arow = aux[bwin]  # (..., 12)
+    r0 = jnp.sum(arow[..., 0:4] * mwin, axis=-1)
+    r1 = jnp.sum(arow[..., 4:8] * mwin, axis=-1)
+    r2 = jnp.sum(arow[..., 8:12] * mwin, axis=-1)
+    return found, fm, r0, r1, r2
+
+
+def split_fm(fm):
+    """fm -> (function_index, mean) uint32."""
+    return fm >> 16, fm & jnp.uint32(0xFFFF)

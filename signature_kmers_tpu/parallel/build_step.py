@@ -38,7 +38,7 @@ def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
     from jax.sharding import PartitionSpec as P
 
     ndp = mesh.shape["dp"]
-    n = int(np.asarray(hi).shape[0])
+    n = int(hi.shape[0])  # works for numpy arrays and jit tracers alike
     assert n % ndp == 0, (n, ndp)
     n_local = n // ndp
     cap = bucket_cap or n_local  # worst case: every local window same owner

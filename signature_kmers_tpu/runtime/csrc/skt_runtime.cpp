@@ -213,4 +213,138 @@ long skt_automaton(const int32_t *hit_pos, const int32_t *hit_func,
     return ncalls;
 }
 
+// ---------------------------------------------------------------------------
+// Single-thread CPU calling baseline
+// ---------------------------------------------------------------------------
+//
+// A faithful CPU re-creation of the reference's inference hot path: one
+// hash probe per residue position (ref: call_functions.tcc:276-335 does one
+// cmph_search + mmap read per position) followed by the same sequential
+// automaton.  Used by bench.py to measure an honest "reference-style CPU"
+// sequences/s on this machine as the vs_baseline denominator.
+
+static inline uint32_t fmix32(uint32_t x) {
+    x ^= x >> 16; x *= 0x85EBCA6Bu; x ^= x >> 13; x *= 0xC2B2AE35u; x ^= x >> 16;
+    return x;
+}
+static inline uint32_t hash_kmer_u32(uint32_t hi, uint32_t lo) {
+    return fmix32(hi ^ (fmix32(lo) + 0x9E3779B9u));
+}
+
+// codes: concatenated 6-bit residue codes; seq_off: n_seqs+1.
+// packed: bucketed table rows (n_buckets x 12 uint32: khi*4, klo*4, fm*4)
+// as produced by table/bucket_table.py.  Returns total emitted calls.
+long skt_cpu_baseline(const unsigned char *codes, const int64_t *seq_off,
+                      long n_seqs,
+                      const uint32_t *packed, long n_buckets, uint32_t salt,
+                      int min_hits, int max_gap, int kmer_size,
+                      double mad_floor, double len_window) {
+    const uint32_t mask = (uint32_t)(n_buckets - 1);
+    const int K = kmer_size;
+    long total_calls = 0;
+    std::vector<Hit> hits;
+    std::vector<double> lengths, devs;
+
+    for (long s = 0; s < n_seqs; s++) {
+        int64_t b = seq_off[s], e = seq_off[s + 1];
+        long len = (long)(e - b);
+        double seqlen = (double)len;
+        hits.clear();
+        int32_t current_fI = -1;
+        long n_calls_seq = 0;
+
+        auto process = [&]() {
+            int fI_count = 0;
+            int32_t last_match_pos = 0;
+            lengths.clear();
+            for (const Hit &h : hits) {
+                if (h.func == current_fI) {
+                    fI_count++;
+                    last_match_pos = h.pos;
+                    lengths.push_back((double)h.mean);
+                }
+            }
+            if (fI_count > 0) {
+                double mean_length = 0.0;
+                for (double x : lengths) mean_length += x;
+                mean_length /= (double)lengths.size();
+                devs = lengths;
+                double med = median_of(devs);
+                for (double &x : devs) x = std::fabs(x - med);
+                double mad = median_of(devs);
+                if (mad == 0.0) mad = mad_floor;
+                if (fI_count >= min_hits &&
+                    seqlen >= mean_length - len_window * mad &&
+                    seqlen <= mean_length + len_window * mad) {
+                    n_calls_seq++;
+                    (void)last_match_pos;
+                }
+            }
+            size_t m = hits.size();
+            if (m >= 2 && hits[m - 2].func != current_fI &&
+                hits[m - 2].func == hits[m - 1].func) {
+                current_fI = hits[m - 2].func;
+                Hit a2 = hits[m - 2], b2 = hits[m - 1];
+                hits.clear();
+                hits.push_back(a2);
+                hits.push_back(b2);
+            } else {
+                hits.clear();
+            }
+        };
+
+        // rolling window; skip windows containing '*' (52) or 'X' (23)
+        for (long p = 0; p + K <= len; p++) {
+            bool ok = true;
+            uint32_t hi = 0, lo = 0;
+            for (int j = 0; j < 4; j++) {
+                unsigned char c = codes[b + p + j];
+                if (c == 52 || c == 23) { ok = false; break; }
+                hi = (hi << 6) | c;
+            }
+            if (ok) {
+                for (int j = 4; j < 8; j++) {
+                    unsigned char c = codes[b + p + j];
+                    if (c == 52 || c == 23) { ok = false; break; }
+                    lo = (lo << 6) | c;
+                }
+            }
+            if (!ok) continue;
+            // two-choice bucketed probe (matches bucket_hashes in
+            // table/bucket_table.py)
+            uint32_t b1 = fmix32(hi ^ fmix32(lo ^ salt)) & mask;
+            uint32_t b2 = fmix32(lo ^ fmix32(hi ^ (salt + 0x9E3779B9u))) & mask;
+            uint32_t fm = 0;
+            bool hitk = false;
+            for (int bi = 0; bi < 2 && !hitk; bi++) {
+                const uint32_t *row = packed + (size_t)(bi ? b2 : b1) * 12;
+                for (int sl = 0; sl < 4; sl++) {
+                    if (row[sl] == hi && row[4 + sl] == lo) {
+                        fm = row[8 + sl];
+                        hitk = true;
+                        break;
+                    }
+                }
+            }
+            if (hitk) {
+                Hit cur{(int32_t)p, (int32_t)(fm >> 16),
+                        (int32_t)(fm & 0xFFFFu)};
+                if (!hits.empty() && hits.back().pos + max_gap < cur.pos) {
+                    if ((int)hits.size() >= min_hits) process();
+                    else hits.clear();
+                }
+                if (hits.empty()) current_fI = cur.func;
+                hits.push_back(cur);
+                if (hits.size() > 1 && current_fI != cur.func) {
+                    size_t m = hits.size();
+                    if (hits[m - 2].func == hits[m - 1].func) process();
+                }
+            }
+        }
+        if ((int)hits.size() >= min_hits) process();
+        total_calls += n_calls_seq;
+    }
+    return total_calls;
+}
+
 }  // extern "C"

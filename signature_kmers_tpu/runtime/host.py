@@ -64,6 +64,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.skt_cpu_baseline.restype = ctypes.c_long
+        lib.skt_cpu_baseline.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_uint32,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -116,6 +123,22 @@ def read_fasta_batch(path):
         codes=codes[:code_off[nseq]].copy(),
         offsets=code_off[:nseq + 1].astype(np.int32).copy(),
         ids=ids, deflines=defs)
+
+
+def cpu_baseline_call(codes, seq_off, table, min_hits: int, max_gap: int,
+                      k: int, mad_floor: float, len_window: float) -> int:
+    """Single-thread reference-style CPU calling pass (bench baseline).
+
+    One probe per residue + the sequential automaton; returns total calls.
+    `table` is a BucketKmerTable."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    packed = np.ascontiguousarray(table.packed, dtype=np.uint32)
+    return lib.skt_cpu_baseline(
+        _ptr(codes), _ptr(seq_off), seq_off.shape[0] - 1,
+        _ptr(packed), table.n_buckets, np.uint32(table.salt),
+        min_hits, max_gap, k, mad_floor, len_window)
 
 
 def run_automaton(hit_pos, hit_func, hit_mean, hit_offsets, seq_lens,

@@ -184,7 +184,11 @@ class KmerTable:
     @staticmethod
     def exists(path) -> bool:
         path = Path(path)
-        return path.with_suffix(".npz").is_file() and path.with_suffix(".json").is_file()
+        if not (path.with_suffix(".npz").is_file()
+                and path.with_suffix(".json").is_file()):
+            return False
+        meta = json.loads(path.with_suffix(".json").read_text())
+        return meta.get("format") == "skt-v1"
 
     # -- device ------------------------------------------------------------
 
