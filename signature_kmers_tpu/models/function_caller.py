@@ -87,27 +87,119 @@ class FunctionCaller:
 
     # -- hit gathering -----------------------------------------------------
 
+    def _full_device_fn(self):
+        """Fused pack + probe + device automaton: only (B, REC_CAP) call
+        records cross the device->host boundary."""
+        if "full" not in self._gather_jit:
+            import jax
+
+            from ..ops import automaton as automaton_ops
+            from ..ops import probe as probe_ops
+
+            arrays = self.table.device_arrays(with_aux=False)
+            salt = self.table.salt
+            cfg = self.config
+            hypo = self.hypo_index
+            ignore_hypo = cfg.ignore_hypothetical
+
+            @jax.jit
+            def f(packed, codes, lengths):
+                import jax.numpy as jnp
+
+                win = kmer_pack.pack_windows(codes, lengths)
+                found, fm = probe_ops.probe_bucket(packed, win["hi"],
+                                                   win["lo"], salt, None)
+                found = found & win["call_valid"]
+                func = (fm >> 16).astype(jnp.int32)
+                mean = (fm & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                if ignore_hypo:
+                    found = found & (func != hypo)
+                return automaton_ops.device_automaton(
+                    found, func, mean, lengths,
+                    cfg.min_hits, cfg.max_gap, cfg.k,
+                    mad_floor=cfg.mad_floor,
+                    len_window=cfg.len_mad_window)
+
+            self._gather_jit["full"] = (f, arrays)
+        return self._gather_jit["full"]
+
+    def _call_batch_device(self, sub, codes, lengths) -> list[SequenceResult]:
+        """Full-device scoring path."""
+        import jax.numpy as jnp
+
+        from ..ops.automaton import REC_CAP
+
+        f, arrays = self._full_device_fn()
+        out = f(*arrays, jnp.asarray(codes), jnp.asarray(lengths))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        B = len(sub)
+        true_lens = sub.lengths.astype(np.int32)
+        results: list[SequenceResult] = []
+        overflow_rows = []
+        for i in range(B):
+            if out["n_recs"][i] > REC_CAP:
+                overflow_rows.append(i)
+                results.append(None)
+                continue
+            calls = [KmerCall(int(out["start"][i, r]), int(out["end"][i, r]),
+                              int(out["count"][i, r]), int(out["fI"][i, r]),
+                              int(out["median"][i, r]),
+                              float(out["mad"][i, r]))
+                     for r in range(REC_CAP) if out["call_valid"][i, r]]
+            best = find_best_call(calls, self.function_at_index, self.config)
+            results.append(SequenceResult(
+                seq_id=sub.ids[i], length=int(true_lens[i]),
+                calls=calls, best=best))
+        if overflow_rows:
+            # exact host fallback for flush-heavy sequences
+            for i in overflow_rows:
+                row = codes[i:i + 1]
+                ln = lengths[i:i + 1]
+                fo, fm = self._gather_host(row, ln, need_aux=False)
+                func = (fm >> 16).astype(np.int32)
+                mean = (fm & 0xFFFF).astype(np.int32)
+                if self.config.ignore_hypothetical:
+                    fo &= func != self.hypo_index
+                pos_list = np.nonzero(fo[0])[0]
+                hits = [KmerHit(int(p), 0, int(func[0, p]),
+                                int(mean[0, p]), 0, 0) for p in pos_list]
+                calls = process_hits(hits, float(true_lens[i]), self.config,
+                                     self.hypo_index)
+                best = find_best_call(calls, self.function_at_index,
+                                      self.config)
+                results[i] = SequenceResult(
+                    seq_id=sub.ids[i], length=int(true_lens[i]),
+                    calls=calls, best=best)
+        return results
+
     def _gather_fn(self, with_aux: bool):
+        """jit gather step.  The table arrays are passed as ARGUMENTS, not
+        closures — closing over them would embed hundreds of MB as
+        compile-time constants."""
         if with_aux not in self._gather_jit:
             import jax
-            import jax.numpy as jnp
 
             from ..ops import probe as probe_ops
 
             arrays = self.table.device_arrays(with_aux=with_aux)
-            packed = arrays[0]
-            aux = arrays[1] if with_aux else None
             salt = self.table.salt
 
-            @jax.jit
-            def f(codes, lengths):
-                win = kmer_pack.pack_windows(codes, lengths)
-                res = probe_ops.probe_bucket(packed, win["hi"], win["lo"],
-                                             salt, aux)
-                found = res[0] & win["call_valid"]
-                return (found,) + tuple(res[1:])
+            if with_aux:
+                @jax.jit
+                def f(packed, aux, codes, lengths):
+                    win = kmer_pack.pack_windows(codes, lengths)
+                    res = probe_ops.probe_bucket(packed, win["hi"],
+                                                 win["lo"], salt, aux)
+                    return (res[0] & win["call_valid"],) + tuple(res[1:])
+            else:
+                @jax.jit
+                def f(packed, codes, lengths):
+                    win = kmer_pack.pack_windows(codes, lengths)
+                    res = probe_ops.probe_bucket(packed, win["hi"],
+                                                 win["lo"], salt, None)
+                    return (res[0] & win["call_valid"],) + tuple(res[1:])
 
-            self._gather_jit[with_aux] = f
+            self._gather_jit[with_aux] = (f, arrays)
         return self._gather_jit[with_aux]
 
     def gather_hits_batch(self, codes: np.ndarray, lengths: np.ndarray,
@@ -119,8 +211,8 @@ class FunctionCaller:
         if self.use_device:
             import jax.numpy as jnp
 
-            f = self._gather_fn(need_aux)
-            out = f(jnp.asarray(codes), jnp.asarray(lengths))
+            f, arrays = self._gather_fn(need_aux)
+            out = f(*arrays, jnp.asarray(codes), jnp.asarray(lengths))
             out = tuple(np.asarray(o) for o in out)
         else:
             out = self._gather_host(codes, lengths, need_aux)
@@ -171,8 +263,12 @@ class FunctionCaller:
                 deflines=batch.deflines[s:e],
             )
             codes, lengths = pad_bucketed(sub, cfg.call_batch)
-            out = self.gather_hits_batch(codes, lengths, need_aux=keep_hits)
-            results.extend(self._score_batch(sub, out, keep_hits))
+            if self.use_device and not keep_hits:
+                results.extend(self._call_batch_device(sub, codes, lengths))
+            else:
+                out = self.gather_hits_batch(codes, lengths,
+                                             need_aux=keep_hits)
+                results.extend(self._score_batch(sub, out, keep_hits))
         return results
 
     def _score_batch(self, sub, gathered, keep_hits: bool) -> list[SequenceResult]:

@@ -120,11 +120,12 @@ class MatrixDistance:
             if not hasattr(self, "_jit_gather"):
                 from ..ops import probe as probe_ops
 
-                packed, aux = self.table.device_arrays(with_aux=True)
+                self._dev_arrays = self.table.device_arrays(with_aux=True)
                 salt = self.table.salt
 
+                # table arrays are call arguments, not jit constants
                 @jax.jit
-                def f(codes, lengths):
+                def f(packed, aux, codes, lengths):
                     win = kmer_pack.pack_windows(codes, lengths)
                     found, fm, r0, r1, r2 = probe_ops.probe_bucket(
                         packed, win["hi"], win["lo"], salt, aux)
@@ -133,7 +134,7 @@ class MatrixDistance:
 
                 self._jit_gather = f
             found, r0, r1, r2, whi, wlo = self._jit_gather(
-                jnp.asarray(codes), jnp.asarray(lengths))
+                *self._dev_arrays, jnp.asarray(codes), jnp.asarray(lengths))
             self._hi = np.asarray(whi)
             self._lo = np.asarray(wlo)
             found, r0, r1, r2 = map(np.asarray, (found, r0, r1, r2))
