@@ -1,20 +1,21 @@
 """Device hit automaton: the sequential calling state machine as a
-`lax.scan` + batched segment statistics, entirely on device.
+`lax.scan` + batched broadcast statistics, entirely on device.
 
 Replaces the host loop over per-position hit data (the reference walks
 hits sequentially per protein, call_functions.tcc:259-338).  Two passes:
 
 Pass A — a scan over positions with O(1) carry per sequence lane.  A
-buffer's hits always form a CONTIGUOUS range of the sequence's hit
-indices: a flush either clears the buffer or retains the last two hits,
-so the next buffer starts at e-1 or e+1.  The scan therefore only emits
-per-flush records (function, first_pos, hit-range) — no hit duplication.
+buffer's hits always form a CONTIGUOUS POSITION interval: hits append in
+position order and a flush either clears the buffer or retains the last
+two hits, so each buffer is fully described by (first_pos, last_pos).
+The scan emits one record per flush: (function, pos_start, pos_end).
 
-Pass B — per-record statistics by batched gather + last-axis sort over
-each record's hit range: count, mean, exact median, exact MAD of the
-stored per-k-mer mean lengths for hits matching the record's function
-(ref: HitSet::process, call_functions.tcc:35-103), then the min-hits and
-length-window emission test.
+Pass B — per-record statistics WITHOUT gathers: membership is a broadcast
+mask `found & pos in [ps, pe] & func == fI` over the original (B, L)
+arrays, then a last-axis sort per record for the exact median and MAD of
+matching hits' stored mean lengths (ref: HitSet::process,
+call_functions.tcc:35-103), then the min-hits and length-window emission
+test.
 
 Records per sequence are capped at REC_CAP; sequences that overflow are
 flagged and re-run on the host path (exact, rare).
@@ -30,11 +31,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 REC_CAP = 8          # record slots per sequence (overflow -> host fallback)
 I32_INF = jnp.int32(0x7FFFFFF0)
 UNDEF = jnp.int32(0xFFFF)
+UNROLL = 16          # positions per scan step (amortizes TPU loop overhead)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -46,28 +47,17 @@ def device_automaton(found, func, mean, seqlen,
 
     found: (B, L) bool; func/mean: (B, L) int32; seqlen: (B,) int32.
 
-    Returns dict:
-      calls:  start/end/count/fI (B, REC_CAP) int32, median (B, REC_CAP)
-              int32, mad (B, REC_CAP) f32, call_valid (B, REC_CAP) bool
-      n_recs: (B,) total records (for overflow detection: > REC_CAP means
-              the device result for that row is incomplete)
+    Returns dict with (B, REC_CAP) arrays:
+      call_valid bool, start/end/count/fI/median int32, mad f32,
+    plus n_recs (B,) for overflow detection (> REC_CAP -> row incomplete).
     """
     B, L = found.shape
     func = func.astype(jnp.int32)
     mean = mean.astype(jnp.int32)
 
-    # ---- compact hits per row (stable: hits keep position order) --------
-    order = jnp.argsort(~found, axis=1, stable=True)
-    hit_func = jnp.take_along_axis(func, order, axis=1)
-    hit_mean = jnp.take_along_axis(mean, order, axis=1)
-    pos_mat = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    hit_pos = jnp.take_along_axis(
-        jnp.where(found, pos_mat, I32_INF), order, axis=1)
-    n_hits = found.sum(axis=1).astype(jnp.int32)
-
     # ---- pass A: scan over positions ------------------------------------
     def step(carry, xs):
-        (cur, n, first, bs, hcount, lpos, lfunc, l2func, l2pos, nrec) = carry
+        (cur, n, first, lpos, lfunc, l2func, l2pos, nrec) = carry
         h, f, p = xs
 
         # 1. gap flush (before append; ref tcc:295-301)
@@ -75,12 +65,10 @@ def device_automaton(found, func, mean, seqlen,
         gap_flush = gap & (n >= min_hits)
         gap_clear = gap & ~gap_flush
         r1_valid = gap_flush
-        r1_fI, r1_first, r1_s = cur, first, bs
-        r1_e = hcount - 1
+        r1_fI, r1_ps, r1_pe = cur, first, lpos
         retain1 = gap_flush & (n >= 2) & (l2func != cur) & (l2func == lfunc)
         cur = jnp.where(retain1, lfunc, cur)
         first = jnp.where(retain1, l2pos, first)
-        bs = jnp.where(retain1, hcount - 2, bs)
         n = jnp.where(gap_flush, jnp.where(retain1, 2, 0), n)
         n = jnp.where(gap_clear, 0, n)
         nrec = nrec + r1_valid.astype(jnp.int32)
@@ -89,7 +77,6 @@ def device_automaton(found, func, mean, seqlen,
         fresh = h & (n == 0)
         cur = jnp.where(fresh, f, cur)
         first = jnp.where(fresh, p, first)
-        bs = jnp.where(fresh, hcount, bs)
 
         # 3. append
         l2func_new = jnp.where(h, lfunc, l2func)
@@ -98,99 +85,80 @@ def device_automaton(found, func, mean, seqlen,
         lpos = jnp.where(h, p, lpos)
         l2func, l2pos = l2func_new, l2pos_new
         n = jnp.where(h, n + 1, n)
-        hcount = jnp.where(h, hcount + 1, hcount)
 
         # 4. same-function-pair switch (ref tcc:320-327)
         switch = h & (n > 1) & (cur != f) & (l2func == lfunc)
         r2_valid = switch
-        r2_fI, r2_first, r2_s = cur, first, bs
-        r2_e = hcount - 1
+        r2_fI, r2_ps = cur, first
+        r2_pe = jnp.broadcast_to(p, cur.shape)
         cur = jnp.where(switch, f, cur)
         first = jnp.where(switch, l2pos, first)
-        bs = jnp.where(switch, hcount - 2, bs)
         n = jnp.where(switch, 2, n)
         nrec = nrec + r2_valid.astype(jnp.int32)
 
-        carry = (cur, n, first, bs, hcount, lpos, lfunc, l2func, l2pos, nrec)
-        ys = (r1_valid, r1_fI, r1_first, r1_s, r1_e,
-              r2_valid, r2_fI, r2_first, r2_s, r2_e)
+        carry = (cur, n, first, lpos, lfunc, l2func, l2pos, nrec)
+        ys = (r1_valid, r1_fI, r1_ps, r1_pe,
+              r2_valid, r2_fI, r2_ps, r2_pe)
         return carry, ys
 
     z = jnp.zeros(B, jnp.int32)
-    init = (jnp.full(B, UNDEF), z, z, z, z,
+    init = (jnp.full(B, UNDEF), z, z,
             jnp.full(B, -(1 << 30), jnp.int32), jnp.full(B, UNDEF),
             jnp.full(B, UNDEF), z, z)
-    xs = (found.T, func.T, jnp.arange(L, dtype=jnp.int32))
-    carry, ys = jax.lax.scan(step, init, xs)
-    (cur, n, first, bs, hcount, lpos, lfunc, l2func, l2pos, nrec) = carry
+
+    assert L % UNROLL == 0
+    posv = jnp.arange(L, dtype=jnp.int32)
+    xs = (found.T.reshape(L // UNROLL, UNROLL, B),
+          func.T.reshape(L // UNROLL, UNROLL, B),
+          posv.reshape(L // UNROLL, UNROLL))
+
+    def chunk_step(carry, chunk):
+        hs, fs, ps = chunk
+        ys_acc = []
+        for u in range(UNROLL):
+            carry, ys_u = step(carry, (hs[u], fs[u], ps[u]))
+            ys_acc.append(ys_u)
+        ys = tuple(jnp.stack([y[i] for y in ys_acc])
+                   for i in range(len(ys_acc[0])))
+        return carry, ys
+
+    carry, ys = jax.lax.scan(chunk_step, init, xs)
+    (cur, n, first, lpos, lfunc, l2func, l2pos, nrec) = carry
+    ys = tuple(y.reshape(L, B) for y in ys)
+    (r1v, r1f, r1ps, r1pe, r2v, r2f, r2ps, r2pe) = ys
 
     # tail flush (ref tcc:336-337)
     tail_valid = n >= min_hits
-    nrec_total = nrec + tail_valid.astype(jnp.int32)
+    n_recs = nrec + tail_valid.astype(jnp.int32)
 
-    # ---- collect records into (B, REC_CAP) slots ------------------------
-    (r1v, r1f, r1fp, r1s, r1e, r2v, r2f, r2fp, r2s, r2e) = ys  # (L, B) each
+    # ---- collect records: one last-axis sort brings valid records (in
+    # position order) to the front; slots beyond REC_CAP are dropped ------
+    def cat(a1, a2, tail_field):
+        # (B, 2L+1): r1/r2 streams interleaved + the tail record
+        m = jnp.stack([a1.T, a2.T], axis=2).reshape(B, 2 * L)
+        return jnp.concatenate([m, tail_field[:, None]], axis=1)
 
-    r1v, r1f, r1fp, r1s, r1e = (a.T for a in (r1v, r1f, r1fp, r1s, r1e))
-    r2v, r2f, r2fp, r2s, r2e = (a.T for a in (r2v, r2f, r2fp, r2s, r2e))
+    v = cat(r1v, r2v, tail_valid)
+    key = jnp.where(v, jax.lax.broadcasted_iota(jnp.int32, v.shape, 1),
+                    I32_INF)
+    key, rec_fI, rec_ps, rec_pe = jax.lax.sort(
+        (key, cat(r1f, r2f, cur), cat(r1ps, r2ps, first),
+         cat(r1pe, r2pe, lpos)), num_keys=1)
+    rec_valid = key[:, :REC_CAP] != I32_INF
+    rec_fI = rec_fI[:, :REC_CAP]
+    rec_ps = rec_ps[:, :REC_CAP]
+    rec_pe = rec_pe[:, :REC_CAP]
 
-    # interleave the two streams: position p contributes slots (p,0), (p,1)
-    v = jnp.stack([r1v, r2v], axis=2).reshape(B, 2 * L)
-    fI = jnp.stack([r1f, r2f], axis=2).reshape(B, 2 * L)
-    fp = jnp.stack([r1fp, r2fp], axis=2).reshape(B, 2 * L)
-    s = jnp.stack([r1s, r2s], axis=2).reshape(B, 2 * L)
-    e = jnp.stack([r1e, r2e], axis=2).reshape(B, 2 * L)
+    # ---- pass B: per-record statistics via broadcast masks --------------
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, L), 2)
+    member = (found[:, None, :]
+              & (pos >= rec_ps[:, :, None]) & (pos <= rec_pe[:, :, None])
+              & (func[:, None, :] == rec_fI[:, :, None])
+              & rec_valid[:, :, None])
+    cnt = member.sum(axis=2).astype(jnp.int32)
+    msum = jnp.where(member, mean[:, None, :], 0).sum(axis=2)
 
-    rank = jnp.cumsum(v.astype(jnp.int32), axis=1) - 1
-    # overflowing records are dropped (row flagged via n_recs)
-    slot = jnp.where(v & (rank < REC_CAP), rank, REC_CAP)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * L), 0)
-
-    def scatter(field, fill):
-        out = jnp.full((B, REC_CAP + 1), fill, field.dtype)
-        out = out.at[rows, slot].set(
-            jnp.where(v, field, fill), mode="drop")
-        return out[:, :REC_CAP]
-
-    rec_valid = scatter(v, False)
-    rec_fI = scatter(fI, UNDEF)
-    rec_first = scatter(fp, 0)
-    rec_s = scatter(s, 0)
-    rec_e = scatter(e, -1)
-
-    # append tail record at slot nrec (dropped when the row overflowed;
-    # such rows are re-run on the host path)
-    tslot = jnp.minimum(nrec, REC_CAP - 1)
-    brow = jnp.arange(B)
-    put = tail_valid & (nrec < REC_CAP)
-    rec_valid = rec_valid.at[brow, tslot].set(
-        rec_valid[brow, tslot] | put)
-    rec_fI = rec_fI.at[brow, tslot].set(jnp.where(put, cur, rec_fI[brow, tslot]))
-    rec_first = rec_first.at[brow, tslot].set(
-        jnp.where(put, first, rec_first[brow, tslot]))
-    rec_s = rec_s.at[brow, tslot].set(jnp.where(put, bs, rec_s[brow, tslot]))
-    rec_e = rec_e.at[brow, tslot].set(
-        jnp.where(put, hcount - 1, rec_e[brow, tslot]))
-
-    # ---- pass B: per-record statistics ----------------------------------
-    # gather each record's hit range [s, e] (contiguous hit indices)
-    W = L  # a record can span every hit of the row
-    widx = rec_s[:, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    in_range = (widx <= rec_e[:, :, None]) & rec_valid[:, :, None]
-    widx_c = jnp.clip(widx, 0, L - 1)
-    g_func = jnp.take_along_axis(
-        hit_func[:, None, :].repeat(REC_CAP, axis=1), widx_c, axis=2)
-    g_mean = jnp.take_along_axis(
-        hit_mean[:, None, :].repeat(REC_CAP, axis=1), widx_c, axis=2)
-    g_pos = jnp.take_along_axis(
-        hit_pos[:, None, :].repeat(REC_CAP, axis=1), widx_c, axis=2)
-
-    match = in_range & (g_func == rec_fI[:, :, None])
-    cnt = match.sum(axis=2).astype(jnp.int32)
-    msum = jnp.where(match, g_mean, 0).sum(axis=2)
-
-    vals = jnp.where(match, g_mean, I32_INF)
-    vals = jnp.sort(vals, axis=2)
+    vals = jnp.sort(jnp.where(member, mean[:, None, :], I32_INF), axis=2)
     safe_cnt = jnp.maximum(cnt, 1)
     lo_i = (safe_cnt - 1) // 2
     hi_i = safe_cnt // 2
@@ -198,10 +166,10 @@ def device_automaton(found, func, mean, seqlen,
     med_hi = jnp.take_along_axis(vals, hi_i[:, :, None], axis=2)[:, :, 0]
     median = (med_lo + med_hi).astype(jnp.float32) / 2.0
 
-    dev = jnp.where(match,
-                    jnp.abs(g_mean.astype(jnp.float32) - median[:, :, None]),
-                    jnp.float32(3e38))
-    dev = jnp.sort(dev, axis=2)
+    dev = jnp.sort(jnp.where(
+        member,
+        jnp.abs(mean[:, None, :].astype(jnp.float32) - median[:, :, None]),
+        jnp.float32(3e38)), axis=2)
     mad_lo = jnp.take_along_axis(dev, lo_i[:, :, None], axis=2)[:, :, 0]
     mad_hi = jnp.take_along_axis(dev, hi_i[:, :, None], axis=2)[:, :, 0]
     mad = (mad_lo + mad_hi) / 2.0
@@ -213,15 +181,15 @@ def device_automaton(found, func, mean, seqlen,
                  & (sl <= mean_len + len_window * mad))
     emit = rec_valid & (cnt >= min_hits) & in_window
 
-    last_match_pos = jnp.where(match, g_pos, -1).max(axis=2)
+    last_match_pos = jnp.where(member, pos, -1).max(axis=2)
 
     return {
         "call_valid": emit,
-        "start": rec_first,
+        "start": rec_ps,
         "end": last_match_pos + (k - 1),
         "count": cnt,
         "fI": rec_fI,
         "median": median.astype(jnp.int32),
         "mad": mad,
-        "n_recs": nrec_total,
+        "n_recs": n_recs,
     }
