@@ -87,10 +87,11 @@ class FunctionCaller:
 
     # -- hit gathering -----------------------------------------------------
 
-    def _full_device_fn(self):
-        """Fused pack + probe + device automaton: only (B, REC_CAP) call
-        records cross the device->host boundary."""
-        if "full" not in self._gather_jit:
+    def _full_device_fn(self, L: int):
+        """Fused device-pad + pack + probe + device automaton: raw flat
+        codes go up, only (B, REC_CAP) call records come back."""
+        key = ("full", L)
+        if key not in self._gather_jit:
             import jax
 
             from ..ops import automaton as automaton_ops
@@ -103,9 +104,10 @@ class FunctionCaller:
             ignore_hypo = cfg.ignore_hypothetical
 
             @jax.jit
-            def f(packed, codes, lengths):
+            def f(packed, flat_codes, offsets):
                 import jax.numpy as jnp
 
+                codes, lengths = kmer_pack.expand_flat(flat_codes, offsets, L)
                 win = kmer_pack.pack_windows(codes, lengths)
                 found, fm = probe_ops.probe_bucket(packed, win["hi"],
                                                    win["lo"], salt, None)
@@ -120,56 +122,107 @@ class FunctionCaller:
                     mad_floor=cfg.mad_floor,
                     len_window=cfg.len_mad_window)
 
-            self._gather_jit["full"] = (f, arrays)
-        return self._gather_jit["full"]
+            self._gather_jit[key] = (f, arrays)
+        return self._gather_jit[key]
 
-    def _call_batch_device(self, sub, codes, lengths) -> list[SequenceResult]:
-        """Full-device scoring path."""
+    def _dispatch_device(self, sub: fasta_io.SequenceBatch):
+        """Asynchronously dispatch one sub-batch; returns device futures."""
         import jax.numpy as jnp
 
+        rows = self.device_config.call_batch
+        lens = sub.lengths
+        nat = int(lens.max()) if len(sub) else 128
+        L = 128
+        while L < nat:
+            L += 128
+        # flat codes padded to a coarse bucket; offsets padded to a fixed
+        # row count -> few distinct compile shapes
+        total = int(sub.codes.shape[0])
+        fsize = 1 << 14
+        while fsize < total:
+            fsize <<= 1
+        flat = np.full(fsize, alphabet.INVALID_CODE, dtype=np.uint8)
+        flat[:total] = sub.codes
+        offs = np.full(rows + 1, total, dtype=np.int32)
+        offs[:len(sub) + 1] = sub.offsets
+        f, arrays = self._full_device_fn(L)
+        out = f(*arrays, jnp.asarray(flat), jnp.asarray(offs))
+        return out
+
+    def _finalize_device(self, sub, out) -> list[SequenceResult]:
         from ..ops.automaton import REC_CAP
 
-        f, arrays = self._full_device_fn()
-        out = f(*arrays, jnp.asarray(codes), jnp.asarray(lengths))
         out = {k: np.asarray(v) for k, v in out.items()}
         B = len(sub)
         true_lens = sub.lengths.astype(np.int32)
-        results: list[SequenceResult] = []
-        overflow_rows = []
+        valid = out["call_valid"][:B]
+        counts = np.where(valid, out["count"][:B], 0)
+        fIs = np.where(valid, out["fI"][:B], -1)
+        n_calls = valid.sum(axis=1)
+        total_count = counts.sum(axis=1)
+        overflow = out["n_recs"][:B] > REC_CAP
+
+        # fast path: zero calls, or all calls share one function (collapse
+        # folds them into a single entry; margin >= min score always holds
+        # when any call exists with count >= min_hits)
+        fs = np.sort(np.where(valid, fIs, np.int32(1 << 30)), axis=1)
+        n_distinct = ((fs[:, :1] != (1 << 30)).astype(np.int64).ravel()
+                      + ((fs[:, 1:] != fs[:, :-1])
+                         & (fs[:, 1:] != (1 << 30))).sum(axis=1))
+        margin = self.config.call_margin
+
+        results: list[SequenceResult] = [None] * B
+        slow_rows = []
         for i in range(B):
-            if out["n_recs"][i] > REC_CAP:
-                overflow_rows.append(i)
-                results.append(None)
+            if overflow[i]:
+                slow_rows.append(i)
+                continue
+            if n_calls[i] == 0:
+                results[i] = SequenceResult(
+                    sub.ids[i], int(true_lens[i]), [],
+                    BestCall(UNDEFINED_FUNCTION, "", 0.0, 0.0))
                 continue
             calls = [KmerCall(int(out["start"][i, r]), int(out["end"][i, r]),
                               int(out["count"][i, r]), int(out["fI"][i, r]),
                               int(out["median"][i, r]),
                               float(out["mad"][i, r]))
-                     for r in range(REC_CAP) if out["call_valid"][i, r]]
-            best = find_best_call(calls, self.function_at_index, self.config)
-            results.append(SequenceResult(
-                seq_id=sub.ids[i], length=int(true_lens[i]),
-                calls=calls, best=best))
-        if overflow_rows:
-            # exact host fallback for flush-heavy sequences
-            for i in overflow_rows:
-                row = codes[i:i + 1]
-                ln = lengths[i:i + 1]
-                fo, fm = self._gather_host(row, ln, need_aux=False)
-                func = (fm >> 16).astype(np.int32)
-                mean = (fm & 0xFFFF).astype(np.int32)
-                if self.config.ignore_hypothetical:
-                    fo &= func != self.hypo_index
-                pos_list = np.nonzero(fo[0])[0]
-                hits = [KmerHit(int(p), 0, int(func[0, p]),
-                                int(mean[0, p]), 0, 0) for p in pos_list]
-                calls = process_hits(hits, float(true_lens[i]), self.config,
-                                     self.hypo_index)
+                     for r in range(REC_CAP) if valid[i, r]]
+            if n_distinct[i] == 1:
+                score = float(total_count[i])
+                if score >= margin:
+                    fi = int(fs[i, 0])
+                    best = BestCall(fi, self.function_at_index(fi), score,
+                                    score)
+                else:
+                    best = BestCall(UNDEFINED_FUNCTION, "", 0.0, score)
+            else:
                 best = find_best_call(calls, self.function_at_index,
                                       self.config)
-                results[i] = SequenceResult(
-                    seq_id=sub.ids[i], length=int(true_lens[i]),
-                    calls=calls, best=best)
+            results[i] = SequenceResult(sub.ids[i], int(true_lens[i]),
+                                        calls, best)
+
+        for i in slow_rows:
+            # exact host fallback for flush-heavy sequences (rare)
+            codes = np.full((1, 1 + len(sub.codes)), alphabet.INVALID_CODE,
+                            dtype=np.uint8)
+            seq = sub.codes[sub.offsets[i]:sub.offsets[i + 1]]
+            row = np.full((1, max(128, seq.shape[0])),
+                          alphabet.INVALID_CODE, dtype=np.uint8)
+            row[0, :seq.shape[0]] = seq
+            ln = np.asarray([seq.shape[0]], dtype=np.int32)
+            fo, fm = self._gather_host(row, ln, need_aux=False)
+            func = (fm >> 16).astype(np.int32)
+            mean = (fm & 0xFFFF).astype(np.int32)
+            if self.config.ignore_hypothetical:
+                fo &= func != self.hypo_index
+            pos_list = np.nonzero(fo[0])[0]
+            hits = [KmerHit(int(p), 0, int(func[0, p]),
+                            int(mean[0, p]), 0, 0) for p in pos_list]
+            calls = process_hits(hits, float(true_lens[i]), self.config,
+                                 self.hypo_index)
+            best = find_best_call(calls, self.function_at_index, self.config)
+            results[i] = SequenceResult(sub.ids[i], int(true_lens[i]),
+                                        calls, best)
         return results
 
     def _gather_fn(self, with_aux: bool):
@@ -254,21 +307,29 @@ class FunctionCaller:
         cfg = self.device_config
         results: list[SequenceResult] = []
         n = len(batch)
-        for s in range(0, n, cfg.call_batch):
-            e = min(s + cfg.call_batch, n)
-            sub = fasta_io.SequenceBatch(
-                codes=batch.codes[batch.offsets[s]:batch.offsets[e]],
-                offsets=batch.offsets[s:e + 1] - batch.offsets[s],
-                ids=batch.ids[s:e],
-                deflines=batch.deflines[s:e],
-            )
+
+        def subs():
+            for s in range(0, n, cfg.call_batch):
+                e = min(s + cfg.call_batch, n)
+                yield fasta_io.SequenceBatch(
+                    codes=batch.codes[batch.offsets[s]:batch.offsets[e]],
+                    offsets=batch.offsets[s:e + 1] - batch.offsets[s],
+                    ids=batch.ids[s:e],
+                    deflines=batch.deflines[s:e],
+                )
+
+        if self.use_device and not keep_hits:
+            # dispatch every chunk asynchronously, then finalize in order —
+            # host scoring overlaps device compute and transfers
+            pending = [(sub, self._dispatch_device(sub)) for sub in subs()]
+            for sub, out in pending:
+                results.extend(self._finalize_device(sub, out))
+            return results
+
+        for sub in subs():
             codes, lengths = pad_bucketed(sub, cfg.call_batch)
-            if self.use_device and not keep_hits:
-                results.extend(self._call_batch_device(sub, codes, lengths))
-            else:
-                out = self.gather_hits_batch(codes, lengths,
-                                             need_aux=keep_hits)
-                results.extend(self._score_batch(sub, out, keep_hits))
+            out = self.gather_hits_batch(codes, lengths, need_aux=keep_hits)
+            results.extend(self._score_batch(sub, out, keep_hits))
         return results
 
     def _score_batch(self, sub, gathered, keep_hits: bool) -> list[SequenceResult]:

@@ -97,6 +97,21 @@ def pad_batch(batch, max_len: int | None = None, multiple: int = 128):
     return codes, out_lens
 
 
+def expand_flat(flat_codes, offsets, L: int):
+    """Device-side padding: flat concatenated codes + offsets -> (B, L)
+    matrix padded with INVALID_CODE, plus lengths.  Keeps the host->device
+    transfer at the raw corpus size."""
+    B = offsets.shape[0] - 1
+    starts = offsets[:-1]
+    lengths = jnp.minimum(offsets[1:] - starts, L).astype(jnp.int32)
+    idx = starts[:, None] + jnp.arange(L, dtype=offsets.dtype)[None, :]
+    valid = idx < offsets[1:, None]
+    codes = jnp.where(valid,
+                      flat_codes[jnp.clip(idx, 0, flat_codes.shape[0] - 1)],
+                      jnp.uint8(alphabet.INVALID_CODE))
+    return codes, lengths
+
+
 @functools.partial(jax.jit, static_argnames=())
 def pack_flat_windows(codes, seq_ids):
     """Flat-form extraction for the build pipeline.
