@@ -119,14 +119,16 @@ def main():
     if host.available():
         sub = min(n_queries, 2048)
         so = (offsets[:sub + 1]).astype(np.int64)
-        t0 = time.perf_counter()
-        host.cpu_baseline_call(flat[:so[-1]], so, table,
-                               cfg.call.min_hits, cfg.call.max_gap,
-                               cfg.call.k, cfg.call.mad_floor,
-                               cfg.call.len_mad_window)
-        cpu_dt = time.perf_counter() - t0
-        cpu_rate = sub / cpu_dt
-        print(f"cpu baseline: {cpu_rate:,.0f} seqs/s (single thread)",
+        best_dt = float("inf")
+        for _ in range(3):  # best-of-3: shared-host timing noise is large
+            t0 = time.perf_counter()
+            host.cpu_baseline_call(flat[:so[-1]], so, table,
+                                   cfg.call.min_hits, cfg.call.max_gap,
+                                   cfg.call.k, cfg.call.mad_floor,
+                                   cfg.call.len_mad_window)
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        cpu_rate = sub / best_dt
+        print(f"cpu baseline: {cpu_rate:,.0f} seqs/s (single thread, best of 3)",
               file=sys.stderr)
         vs_baseline = value / cpu_rate
 

@@ -18,9 +18,10 @@ def enable_cache(cache_dir: str | None = None) -> None:
     if _enabled:
         return
     _enabled = True
+    # default inside the repo so the cache travels with the checkout
+    repo_default = Path(__file__).resolve().parents[2] / ".jax_cache"
     cache_dir = cache_dir or os.environ.get(
-        "SKT_JAX_CACHE_DIR",
-        str(Path.home() / ".cache" / "signature_kmers_tpu" / "jax"))
+        "SKT_JAX_CACHE_DIR", str(repo_default))
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     import jax
 
