@@ -108,10 +108,11 @@ class FunctionCaller:
                 import jax.numpy as jnp
 
                 codes, lengths = kmer_pack.expand_flat(flat_codes, offsets, L)
-                win = kmer_pack.pack_windows(codes, lengths)
-                found, fm = probe_ops.probe_bucket(packed, win["hi"],
-                                                   win["lo"], salt, None)
-                found = found & win["call_valid"]
+                whi, wlo, call_valid = kmer_pack.pack_call_windows(
+                    codes, lengths)
+                found, fm = probe_ops.probe_bucket(packed, whi, wlo,
+                                                   salt, None)
+                found = found & call_valid
                 func = (fm >> 16).astype(jnp.int32)
                 mean = (fm & jnp.uint32(0xFFFF)).astype(jnp.int32)
                 if ignore_hypo:

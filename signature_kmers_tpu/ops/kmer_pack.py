@@ -41,6 +41,42 @@ def _window_all(flags, L):
     return jnp.concatenate([ok, pad], axis=-1)
 
 
+def _shift_left(x, j, fill):
+    """x shifted left by j along the last axis, padded with fill."""
+    B = x.shape[0]
+    return jnp.concatenate(
+        [x[:, j:], jnp.full((B, j), fill, x.dtype)], axis=1)
+
+
+@jax.jit
+def pack_call_windows(codes, lengths):
+    """Minimal call-path variant of pack_windows: (hi, lo, call_valid).
+
+    Uses log-doubling shifts (3 steps) instead of per-offset shifts and a
+    cumsum, and arithmetic ambiguity tests instead of table lookups —
+    the full pack_windows was measured to dominate the fused caller.
+    """
+    B, L = codes.shape
+    c = codes.astype(jnp.uint32)
+
+    # 4-char words by doubling: d2[j] = c[j]c[j+1]; d4[j] = c[j..j+3]
+    d2 = (c << 6) | _shift_left(c, 1, alphabet.INVALID_CODE)
+    d4 = (d2 << 12) | _shift_left(d2, 2, 0)
+    hi = d4 & jnp.uint32(0xFFFFFF)
+    lo = _shift_left(d4, 4, 0) & jnp.uint32(0xFFFFFF)
+
+    # call-side ambiguity: '*' (52) or uppercase 'X' (23), kmer_data.h:82
+    ok = (codes != jnp.uint8(alphabet.STAR_CODE)) \
+        & (codes != jnp.uint8(alphabet.X_UPPER_CODE))
+    w2 = ok & _shift_left(ok, 1, False)
+    w4 = w2 & _shift_left(w2, 2, False)
+    w8 = w4 & _shift_left(w4, 4, False)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    in_seq = pos + K <= lengths[:, None]
+    return hi, lo, w8 & in_seq
+
+
 @jax.jit
 def pack_windows(codes, lengths):
     """codes: (B, L) uint8; lengths: (B,) int32.
