@@ -32,10 +32,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-REC_CAP = 8          # record slots per sequence (overflow -> host fallback)
+REC_CAP = 4          # record slots per sequence (overflow -> host fallback)
 I32_INF = jnp.int32(0x7FFFFFF0)
 UNDEF = jnp.int32(0xFFFF)
-UNROLL = 16          # positions per scan step (amortizes TPU loop overhead)
+UNROLL = 32          # positions per scan step (amortizes TPU loop overhead)
 
 
 @functools.partial(jax.jit, static_argnames=(
