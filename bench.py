@@ -89,7 +89,7 @@ def main():
     n_queries, seq_len = codes.shape
 
     cfg = Config()
-    dc = DeviceConfig(call_batch=4096)
+    dc = DeviceConfig(call_batch=8192)
     caller = FunctionCaller(table, function_index, cfg.call, dc)
 
     flat = codes.reshape(-1)
