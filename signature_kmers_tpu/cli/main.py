@@ -286,6 +286,20 @@ def main(argv=None):
     _add_matrix_folder(sub)
     _add_matrix_merge(sub)
     _add_serve(sub)
+
+    from . import table_tool
+    table_tool.add_subparsers(sub)
+
+    p_setup = sub.add_parser("setup-build",
+                             help="prepare a build data directory")
+    p_setup.add_argument("setup_args", nargs=argparse.REMAINDER)
+
+    def _setup(args):
+        from . import setup_build
+        return setup_build.main(args.setup_args)
+
+    p_setup.set_defaults(func=_setup)
+
     args = parser.parse_args(argv)
     return args.func(args)
 

@@ -1,0 +1,108 @@
+"""Signature-table maintenance tools.
+
+Equivalents of the reference's dev exercisers: tst-cmph.cc (round-trip
+read/verify of the store) and write-cmph-from-kmers.cc (populate a store
+from a final.kmers text dump), plus info/dump utilities.
+
+  skt table-tool info   <data-dir>
+  skt table-tool dump   <data-dir> [-o out]        # -> final.kmers text
+  skt table-tool build  <final.kmers> <data-dir>   # text -> table
+  skt table-tool verify <data-dir>                 # probe every stored key
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..core import alphabet
+from ..io import formats
+from ..table.bucket_table import BucketKmerTable
+
+
+def cmd_info(args):
+    t = BucketKmerTable.load(Path(args.data_dir) / "kmer_data")
+    print(f"kmers      {t.n_items}")
+    print(f"buckets    {t.n_buckets}")
+    print(f"slots      {t.size}")
+    print(f"load       {t.n_items / t.size:.3f}")
+    print(f"salt       0x{t.salt:08x}")
+    print(f"bytes      {t.packed.nbytes + t.aux.nbytes}")
+    return 0
+
+
+def cmd_dump(args):
+    t = BucketKmerTable.load(Path(args.data_dir) / "kmer_data")
+    hi, lo, v0, v1, v2 = t.occupied()
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        avg = v0 & 0xFFFF
+        fn = v0 >> 16
+        if args.full:
+            mean = v1 & 0xFFFF
+            median = v1 >> 16
+            var = v2 & 0xFFFF
+            for i in range(hi.shape[0]):
+                out.write(f"{alphabet.unpack_kmer(int(hi[i]), int(lo[i]))}\t"
+                          f"{avg[i]}\t{fn[i]}\t{mean[i]}\t{median[i]}\t"
+                          f"{var[i]}\n")
+        else:
+            for i in range(hi.shape[0]):
+                out.write(f"{alphabet.unpack_kmer(int(hi[i]), int(lo[i]))}\t"
+                          f"{avg[i]}\t{fn[i]}\t\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def cmd_build(args):
+    hi, lo, avg, fn = formats.read_final_kmers(args.final_kmers)
+    z = np.zeros(hi.shape[0], dtype=np.uint16)
+    t = BucketKmerTable.from_stats(hi, lo, avg, fn, z, z, z)
+    out = Path(args.data_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t.save(out / "kmer_data")
+    print(f"built table: {t.n_items} kmers, {t.n_buckets} buckets")
+    return 0
+
+
+def cmd_verify(args):
+    t = BucketKmerTable.load(Path(args.data_dir) / "kmer_data")
+    hi, lo, v0, v1, v2 = t.occupied()
+    found, r0, r1, r2 = t.lookup_np(hi, lo)
+    ok = (found.all() and (r0 == v0).all() and (r1 == v1).all()
+          and (r2 == v2).all())
+    # misses must be exact too
+    rng = np.random.default_rng(0)
+    mh = rng.integers(0, 1 << 24, 100000).astype(np.uint32)
+    ml = rng.integers(0, 1 << 24, 100000).astype(np.uint32)
+    stored = set(zip(hi.tolist(), lo.tolist()))
+    f2, *_ = t.lookup_np(mh, ml)
+    false_hits = sum(1 for i in np.nonzero(f2)[0]
+                     if (int(mh[i]), int(ml[i])) not in stored)
+    print(f"stored-key round trip: {'OK' if ok else 'FAIL'}")
+    print(f"false hits on random probes: {false_hits}")
+    return 0 if ok and false_hits == 0 else 1
+
+
+def add_subparsers(sub):
+    p = sub.add_parser("table-tool", help="signature-table tools")
+    ss = p.add_subparsers(dest="table_cmd", required=True)
+    pi = ss.add_parser("info")
+    pi.add_argument("data_dir")
+    pi.set_defaults(func=cmd_info)
+    pd = ss.add_parser("dump")
+    pd.add_argument("data_dir")
+    pd.add_argument("-o", "--output")
+    pd.add_argument("--full", action="store_true")
+    pd.set_defaults(func=cmd_dump)
+    pb = ss.add_parser("build")
+    pb.add_argument("final_kmers")
+    pb.add_argument("data_dir")
+    pb.set_defaults(func=cmd_build)
+    pv = ss.add_parser("verify")
+    pv.add_argument("data_dir")
+    pv.set_defaults(func=cmd_verify)

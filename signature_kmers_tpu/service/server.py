@@ -5,12 +5,15 @@ Service-layer equivalent of the reference's (vestigial) kmers-server
 asyncio HTTP; requests are funneled through a single dispatch queue so
 concurrent clients share device batches.
 
-Endpoints:
-  GET  /version          -> framework + table info
-  GET  /quit             -> shut the server down
-  POST /lookup           -> FASTA body; per-k-mer hit dump per sequence
-  POST /query            -> FASTA body; call TSV (id function index score)
-  POST /matrix           -> FASTA body; distance TSV with scores
+Endpoints (surface modeled on kser_request.cc:273-489):
+  GET  /version               -> framework + table info
+  GET  /quit                  -> shut the server down
+  GET  /dump_sizes            -> table size accounting
+  GET  /genus_lookup/<genus>  -> genome name from gnames/
+  POST /add                   -> final.kmers lines; extend the live table
+  POST /lookup                -> FASTA body; per-k-mer hit dump per sequence
+  POST /query                 -> FASTA body; call TSV (id function index score)
+  POST /matrix                -> FASTA body; distance TSV with scores
 """
 
 from __future__ import annotations
@@ -29,13 +32,18 @@ from ..models.matrix_distance import MatrixDistance
 class AnnotationService:
     def __init__(self, data_dir, config: Config = Config()):
         self.config = config
+        self.data_dir = data_dir
         self.table, self.function_index = pipeline.load_data_dir(
             data_dir, config)
-        self.caller = FunctionCaller(self.table, self.function_index,
-                                     config.call, config.device)
-        self.distance = MatrixDistance(self.table, self.function_index,
-                                       config.distance, config.device)
+        self._build_engines()
         self._lock = asyncio.Lock()
+
+    def _build_engines(self):
+        self.caller = FunctionCaller(self.table, self.function_index,
+                                     self.config.call, self.config.device)
+        self.distance = MatrixDistance(self.table, self.function_index,
+                                       self.config.distance,
+                                       self.config.device)
 
     # -- request handlers --------------------------------------------------
 
@@ -68,6 +76,69 @@ class AnnotationService:
                 out.write(f"{res.seq_id}\t{h.pos}\t{fn}\t{h.mean}\t"
                           f"{h.median}\t{h.var}\n")
         return out.getvalue()
+
+    def add_text(self, body: bytes) -> str:
+        """Add signature k-mers (final.kmers text lines) to the live table.
+
+        Service-layer analog of the reference's POST /add
+        (kser_request.cc:414-489).  The merged table is rebuilt — adds are
+        rare admin operations; reads stay on the static fast path."""
+        import numpy as np
+
+        from ..core import alphabet
+        from ..table.bucket_table import BucketKmerTable
+
+        his, los, v0s, v1s, v2s = [], [], [], [], []
+        for line in body.decode("latin-1").splitlines():
+            parts = line.rstrip().split("\t")
+            if len(parts) < 3 or len(parts[0]) != 8:
+                continue
+            h, l = alphabet.pack_kmer_str(parts[0])
+            avg, fn = int(parts[1]) & 0xFFFF, int(parts[2]) & 0xFFFF
+            mean = int(parts[3]) & 0xFFFF if len(parts) > 3 and parts[3] else 0
+            median = int(parts[4]) & 0xFFFF if len(parts) > 4 and parts[4] else 0
+            var = int(parts[5]) & 0xFFFF if len(parts) > 5 and parts[5] else 0
+            his.append(h)
+            los.append(l)
+            v0s.append((fn << 16) | avg)
+            v1s.append((median << 16) | mean)
+            v2s.append(var)
+        if not his:
+            return "added 0\n"
+        hi, lo, v0, v1, v2 = self.table.occupied()
+        nh = np.asarray(his, dtype=np.uint32)
+        nl = np.asarray(los, dtype=np.uint32)
+        # new entries override existing ones with the same key
+        old_keys = (hi.astype(np.uint64) << 24) | lo
+        new_keys = (nh.astype(np.uint64) << 24) | nl
+        keep = ~np.isin(old_keys, new_keys)
+        self.table = BucketKmerTable.build(
+            np.concatenate([hi[keep], nh]),
+            np.concatenate([lo[keep], nl]),
+            np.concatenate([v0[keep], np.asarray(v0s, np.uint32)]),
+            np.concatenate([v1[keep], np.asarray(v1s, np.uint32)]),
+            np.concatenate([v2[keep], np.asarray(v2s, np.uint32)]),
+            self.config.table)
+        self._build_engines()
+        return f"added {len(his)}\n"
+
+    def dump_sizes_text(self) -> str:
+        """ref endpoint surface: GET /dump_sizes (kser_request.cc:273-412)."""
+        return (f"kmers\t{self.table.n_items}\n"
+                f"buckets\t{self.table.n_buckets}\n"
+                f"packed_bytes\t{self.table.packed.nbytes}\n"
+                f"aux_bytes\t{self.table.aux.nbytes}\n"
+                f"functions\t{len(self.function_index)}\n")
+
+    def genus_lookup_text(self, genus: str) -> str:
+        """GET /genus_lookup/<genus>: resolves a genome name from the
+        data dir's gnames/ directory when present."""
+        from pathlib import Path
+
+        p = Path(self.data_dir) / "gnames" / genus
+        if p.is_file():
+            return p.read_text(encoding="latin-1")
+        return ""
 
     def matrix_text(self, body: bytes) -> str:
         batch = fasta_io.SequenceBatch.from_records(
@@ -104,6 +175,14 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
         elif method == "GET" and path == "/quit":
             text = "OK\n"
             stop_event.set()
+        elif method == "GET" and path == "/dump_sizes":
+            text = service.dump_sizes_text()
+        elif method == "GET" and path.startswith("/genus_lookup/"):
+            text = service.genus_lookup_text(path.split("/", 2)[2])
+        elif method == "POST" and path == "/add":
+            async with service._lock:
+                text = await asyncio.get_event_loop().run_in_executor(
+                    None, service.add_text, body)
         elif method == "POST" and path == "/query":
             async with service._lock:
                 text = await asyncio.get_event_loop().run_in_executor(

@@ -1,0 +1,142 @@
+"""Tests: setup-build prep, table tools, extended service endpoints."""
+
+import numpy as np
+import pytest
+
+from signature_kmers_tpu.cli.main import main as cli_main
+from signature_kmers_tpu.cli.setup_build import (main as setup_main,
+                                                 renumber_fragment_runs)
+
+
+class TestSetupBuild:
+    def test_prepares_layout(self, tmp_path):
+        src_seqs = tmp_path / "src_seqs"
+        src_anno = tmp_path / "src_anno"
+        src_seqs.mkdir()
+        src_anno.mkdir()
+        (src_seqs / "100.1").write_text(
+            ">fig|100.1.peg.1\nMKLVVAGH\n"
+            ">fig|100.1.peg.2\nACDEFGHI\n"
+            ">fig|100.1.peg.3\nWWYYWWYY\n")
+        (src_anno / "100.1").write_text(
+            "fig|100.1.peg.1\tAlpha synthase\n"
+            "fig|100.1.peg.2\tBeta ligase / Gamma ligase\n"
+            "fig|100.1.peg.3\tSkipme\n")
+        skip = tmp_path / "skip"
+        skip.write_text("fig|100.1.peg.3\n")
+        extra = tmp_path / "extra.fa"
+        extra.write_text(">ext1 Extra protein func\nMKWWYYAC\n")
+        out = tmp_path / "build"
+        out.mkdir()
+        rc = setup_main([
+            str(out), "--source-seqs", str(src_seqs),
+            "--source-anno", str(src_anno),
+            "--skip-pegs", str(skip), "--skip-fusions",
+            "--additional-fasta", str(extra),
+            "--id-map", str(tmp_path / "idmap")])
+        assert rc == 0
+        seqs = (out / "Seqs" / "100.1").read_text()
+        assert "peg.1" in seqs
+        assert "peg.2" not in seqs  # fusion skipped
+        assert "peg.3" not in seqs  # skip-pegs
+        extra_fa = (out / "Seqs" / "7777777.1").read_text()
+        assert ">fig|7777777.1.peg.1" in extra_fa
+        ann = (out / "Annotations" / "0" / "7777777.1").read_text()
+        assert "Extra protein func" in ann
+        assert (out / "additional.funcs").read_text() == "Extra protein func\n"
+        idmap = (tmp_path / "idmap").read_text()
+        assert "ext1\tfig|7777777.1.peg.1" in idmap
+        assert (out / "gnames" / "7777777.1").read_text().startswith("Extra")
+
+    def test_fragment_renumbering(self):
+        items = [
+            ("a", "Big protein # fragment"),
+            ("b", "Big protein # fragment"),
+            ("c", "Big protein # fragment"),
+            ("d", "Other protein # note"),
+            ("e", "Lone protein # frameshift"),
+        ]
+        out = renumber_fragment_runs(items)
+        assert out[0] == ("a", "Big protein # fragment 1")
+        assert out[1] == ("b", "Big protein # fragment 2")
+        assert out[2] == ("c", "Big protein # fragment 3")
+        assert out[3] == ("d", "Other protein")
+        # run of one: no suffix, comment stripped (kmers-setup-build.pl:229-247)
+        assert out[4] == ("e", "Lone protein")
+
+    def test_function_overrides(self, tmp_path):
+        src_seqs = tmp_path / "s"
+        src_seqs.mkdir()
+        (src_seqs / "5.5").write_text(">fig|5.5.peg.1 Original func\nMKLV\n")
+        ov = tmp_path / "ov"
+        ov.write_text("fig|5.5.peg.1\tNew func\n")
+        out = tmp_path / "b"
+        out.mkdir()
+        rc = setup_main([str(out), "--source-seqs", str(src_seqs),
+                         "--function-overrides", str(ov)])
+        assert rc == 0
+        ann = (out / "Annotations" / "0" / "5.5").read_text()
+        assert ann.splitlines()[-1] == "fig|5.5.peg.1\tNew func"
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    from tests.fixtures.gen_corpus import generate_corpus
+
+    root = tmp_path_factory.mktemp("corpus_tools")
+    generate_corpus(root)
+    out = tmp_path_factory.mktemp("kd_tools")
+    rc = cli_main([
+        "build-signatures",
+        "-D", str(root / "Annotations"),
+        "-F", str(root / "Seqs"),
+        "--kmer-data-dir", str(out),
+        "--final-kmers", "final.kmers",
+        "--no-recall"])
+    assert rc == 0
+    return out
+
+
+class TestTableTool:
+    def test_info_and_verify(self, data_dir, capsys):
+        assert cli_main(["table-tool", "info", str(data_dir)]) == 0
+        out = capsys.readouterr().out
+        assert "kmers" in out
+        assert cli_main(["table-tool", "verify", str(data_dir)]) == 0
+
+    def test_dump_build_roundtrip(self, data_dir, tmp_path):
+        dump = tmp_path / "dump.kmers"
+        assert cli_main(["table-tool", "dump", str(data_dir),
+                         "-o", str(dump)]) == 0
+        # matches the build's own final.kmers
+        assert sorted(dump.read_text().splitlines()) == sorted(
+            (data_dir / "final.kmers").read_text().splitlines())
+        rebuilt = tmp_path / "rebuilt"
+        assert cli_main(["table-tool", "build", str(dump),
+                         str(rebuilt)]) == 0
+        from signature_kmers_tpu.table.bucket_table import BucketKmerTable
+
+        t1 = BucketKmerTable.load(data_dir / "kmer_data")
+        t2 = BucketKmerTable.load(rebuilt / "kmer_data")
+        assert t1.n_items == t2.n_items
+
+
+class TestServiceAdmin:
+    def test_add_and_sizes(self, data_dir):
+        from signature_kmers_tpu.service.server import AnnotationService
+
+        svc = AnnotationService(str(data_dir))
+        n0 = svc.table.n_items
+        sizes = svc.dump_sizes_text()
+        assert f"kmers\t{n0}" in sizes
+        resp = svc.add_text(b"WWWWYYYY\t42\t3\t\nMMMMKKKK\t7\t2\t\n")
+        assert resp == "added 2\n"
+        assert svc.table.n_items == n0 + 2
+        from signature_kmers_tpu.core import alphabet
+
+        hi, lo = alphabet.pack_kmer_str("WWWWYYYY")
+        found, r0, _, _ = svc.table.lookup_np(
+            np.asarray([hi], np.uint32), np.asarray([lo], np.uint32))
+        assert found[0]
+        assert int(r0[0] & 0xFFFF) == 42
+        assert int(r0[0] >> 16) == 3
