@@ -101,10 +101,11 @@ def device_automaton(found, func, mean, seqlen,
               r2_valid, r2_fI, r2_ps, r2_pe)
         return carry, ys
 
-    z = jnp.zeros(B, jnp.int32)
-    init = (jnp.full(B, UNDEF), z, z,
-            jnp.full(B, -(1 << 30), jnp.int32), jnp.full(B, UNDEF),
-            jnp.full(B, UNDEF), z, z)
+    # derive the init from an input so it carries the same device-varying
+    # axes under shard_map (a plain jnp.zeros init is cross-device
+    # invariant and lax.scan rejects the carry type mismatch)
+    z = jnp.zeros_like(seqlen, dtype=jnp.int32)
+    init = (z + UNDEF, z, z, z - (1 << 30), z + UNDEF, z + UNDEF, z, z)
 
     assert L % UNROLL == 0
     posv = jnp.arange(L, dtype=jnp.int32)
