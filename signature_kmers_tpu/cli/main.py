@@ -39,6 +39,8 @@ def _add_build(sub):
     p.add_argument("--n-threads", type=int, default=1)  # accepted for parity
     p.add_argument("--kept-log")
     p.add_argument("--no-recall", action="store_true")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="persist per-file extraction shards for resumable builds")
     p.add_argument("--host-only", action="store_true",
                    help="skip device pipelines (debug)")
     p.set_defaults(func=cmd_build)
@@ -66,6 +68,7 @@ def cmd_build(args):
         final_kmers=args.final_kmers,
         recall=not args.no_recall,
         kept_log=args.kept_log,
+        checkpoint=args.checkpoint,
         config=cfg,
         use_device=not args.host_only,
     )

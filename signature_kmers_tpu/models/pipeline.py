@@ -45,6 +45,7 @@ def run_build(
     kept_log=None,
     config: Config = Config(),
     use_device: bool = True,
+    checkpoint: bool = False,
 ) -> BuildResult:
     builder = SignatureBuilder(config.build, kept_log, use_device=use_device)
 
@@ -76,7 +77,9 @@ def run_build(
         (kmer_data_dir / "otu.index").write_text("")
         (kmer_data_dir / "genomes").write_text("empty genomes\n")
 
-    builder.extract_kmers(deleted)
+    ckpt_dir = (kmer_data_dir / "build.ckpt.d"
+                if (checkpoint and kmer_data_dir) else None)
+    builder.extract_kmers(deleted, checkpoint_dir=ckpt_dir)
     kept = builder.process_kmers()
 
     if kmer_data_dir:

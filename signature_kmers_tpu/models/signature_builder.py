@@ -169,29 +169,76 @@ class SignatureBuilder:
 
     # -- extraction --------------------------------------------------------
 
-    def extract_kmers(self, deleted_fids: set[str]):
+    def extract_kmers(self, deleted_fids: set[str],
+                      checkpoint_dir=None):
         """Vectorized window extraction per file (ref: signature_build.tcc:
-        48-181).  Sequence ids are file_number * max_seqs_per_file + n."""
+        48-181).  Sequence ids are file_number * max_seqs_per_file + n.
+
+        With checkpoint_dir, each input file's extracted attribute arrays
+        are persisted and re-loaded on restart — a killed build resumes at
+        the first unextracted file (the reference restarts from zero; cf.
+        the folder CLI's output-existence restartability,
+        kmers-matrix-distance-folder.cc:113-116)."""
         k = self.config.k
+        ckpt = Path(checkpoint_dir) if checkpoint_dir else None
+        if ckpt:
+            ckpt.mkdir(parents=True, exist_ok=True)
         for file_number, path in enumerate(self.all_fasta_files):
-            seqs = []
-            next_id = file_number * self.config.max_seqs_per_file
-            for rec in fasta_io.iter_fasta(path):
-                if not rec.id or rec.id in deleted_fids:
+            if ckpt:
+                cfile = ckpt / f"extract_{file_number:06d}.npz"
+                if cfile.is_file():
+                    z = np.load(cfile)
+                    if z["hi"].shape[0]:
+                        self._attr_chunks.append(tuple(
+                            z[k2] for k2 in ("hi", "lo", "func", "off",
+                                             "plen", "sid")))
+                    for fi, cnt in zip(z["stat_func"], z["stat_count"]):
+                        self.stats.seqs_with_func[int(fi)] = \
+                            self.stats.seqs_with_func.get(int(fi), 0) + int(cnt)
                     continue
-                func = self.fm.lookup_function(rec.id)
-                if not func:
-                    continue  # no id consumed (signature_build.tcc:133-136)
-                sid = next_id
-                next_id += 1
-                fidx = self.fm.lookup_index(func)
-                if fidx == UNDEFINED_FUNCTION:
-                    continue  # id consumed (signature_build.tcc:138-158)
-                self.stats.seqs_with_func[fidx] = \
-                    self.stats.seqs_with_func.get(fidx, 0) + 1
-                seqs.append((sid, fidx, alphabet.encode_seq(rec.seq)))
-            if not seqs:
+                before = len(self._attr_chunks)
+                stats_before = dict(self.stats.seqs_with_func)
+                self._extract_file(file_number, path, deleted_fids, k)
+                new = self._attr_chunks[before:]
+                if new:
+                    hi = np.concatenate([c[0] for c in new])
+                    lo = np.concatenate([c[1] for c in new])
+                    func = np.concatenate([c[2] for c in new])
+                    off = np.concatenate([c[3] for c in new])
+                    plen = np.concatenate([c[4] for c in new])
+                    sid = np.concatenate([c[5] for c in new])
+                else:
+                    hi = lo = np.zeros(0, np.uint32)
+                    func = off = plen = sid = np.zeros(0, np.int32)
+                delta = {fi: cnt - stats_before.get(fi, 0)
+                         for fi, cnt in self.stats.seqs_with_func.items()
+                         if cnt != stats_before.get(fi, 0)}
+                np.savez(cfile, hi=hi, lo=lo, func=func, off=off,
+                         plen=plen, sid=sid,
+                         stat_func=np.asarray(list(delta), np.int32),
+                         stat_count=np.asarray(list(delta.values()),
+                                               np.int32))
                 continue
+            self._extract_file(file_number, path, deleted_fids, k)
+
+    def _extract_file(self, file_number, path, deleted_fids, k):
+        seqs = []
+        next_id = file_number * self.config.max_seqs_per_file
+        for rec in fasta_io.iter_fasta(path):
+            if not rec.id or rec.id in deleted_fids:
+                continue
+            func = self.fm.lookup_function(rec.id)
+            if not func:
+                continue  # no id consumed (signature_build.tcc:133-136)
+            sid = next_id
+            next_id += 1
+            fidx = self.fm.lookup_index(func)
+            if fidx == UNDEFINED_FUNCTION:
+                continue  # id consumed (signature_build.tcc:138-158)
+            self.stats.seqs_with_func[fidx] = \
+                self.stats.seqs_with_func.get(fidx, 0) + 1
+            seqs.append((sid, fidx, alphabet.encode_seq(rec.seq)))
+        if seqs:
             self._extract_from_seqs(seqs, k)
 
     def _extract_from_seqs(self, seqs, k):

@@ -210,3 +210,23 @@ class TestService:
         urllib.request.urlopen(base + "/quit", timeout=5).read()
         t.join(timeout=10)
         assert not t.is_alive()
+
+
+class TestBuildCheckpoint:
+    def test_resumable_extraction(self, corpus, tmp_path):
+        out1 = tmp_path / "ck1"
+        rc = cli_main([
+            "build-signatures", "-D", str(corpus / "Annotations"),
+            "-F", str(corpus / "Seqs"), "--kmer-data-dir", str(out1),
+            "--final-kmers", "final.kmers", "--no-recall", "--checkpoint"])
+        assert rc == 0
+        ckpt = out1 / "build.ckpt.d"
+        assert len(list(ckpt.glob("extract_*.npz"))) == 6
+        fk1 = (out1 / "final.kmers").read_text()
+        # re-run resumes purely from checkpoints and reproduces the output
+        rc = cli_main([
+            "build-signatures", "-D", str(corpus / "Annotations"),
+            "-F", str(corpus / "Seqs"), "--kmer-data-dir", str(out1),
+            "--final-kmers", "final.kmers", "--no-recall", "--checkpoint"])
+        assert rc == 0
+        assert (out1 / "final.kmers").read_text() == fk1
