@@ -34,6 +34,12 @@ class CallConfig:
     pair_margin: float = 2.0            # ref: call_functions.tcc:649
     fusion_tolerance: float = 0.1       # ref: call_functions.tcc:544
     ignore_hypothetical: bool = False   # ref: call_functions.h:121
+    # Present-but-always-false plumbing in the reference
+    # (order_constraint_, call_functions.h:128, tcc:307-311): when true, a
+    # hit only joins a non-empty buffer if it has the buffer's last
+    # function and its spacing is consistent with avg_from_end within 20.
+    order_constraint: bool = False
+    order_constraint_slack: int = 20    # ref: call_functions.tcc:311
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,6 +135,15 @@ def process_hits(hit_stream: Iterable[KmerHit], seqlen: float,
                 hits = []
         if not hits:
             current_fI = h.function_index
+        # order-constraint gate (plumbed but always false in the
+        # reference; ref: call_functions.tcc:307-311)
+        if config.order_constraint and hits:
+            last = hits[-1]
+            if not (h.function_index == last.function_index
+                    and abs((h.pos - last.pos)
+                            - (last.avg_from_end - h.avg_from_end))
+                    <= config.order_constraint_slack):
+                continue
         hits.append(h)
         # function-switch flush on a fresh same-function pair
         # (ref: call_functions.tcc:320-327)
