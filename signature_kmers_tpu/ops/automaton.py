@@ -35,7 +35,7 @@ import jax.numpy as jnp
 REC_CAP = 4          # record slots per sequence (overflow -> host fallback)
 I32_INF = jnp.int32(0x7FFFFFF0)
 UNDEF = jnp.int32(0xFFFF)
-UNROLL = 32          # positions per scan step (amortizes TPU loop overhead)
+UNROLL = 16          # positions per scan step (amortizes TPU loop overhead)
 
 
 @functools.partial(jax.jit, static_argnames=(
