@@ -16,7 +16,7 @@ import argparse
 import sys
 from pathlib import Path
 
-from ..core.config import CallConfig, Config
+from ..core.config import Config
 from ..io import fasta as fasta_io, formats
 from ..models import pipeline
 from ..models.function_caller import FunctionCaller

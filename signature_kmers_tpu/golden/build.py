@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..core import alphabet, seed
+from ..core import alphabet
 from ..core.config import BuildConfig
 from ..core.function_map import FunctionMap, UNDEFINED_FUNCTION
 from ..io import fasta as fasta_io

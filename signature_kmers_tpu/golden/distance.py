@@ -14,7 +14,7 @@ import math
 import numpy as np
 
 from ..core import alphabet
-from ..core.config import CallConfig, DistanceConfig
+from ..core.config import DistanceConfig
 from .call import GoldenFunctionCaller, valid_call_windows
 
 

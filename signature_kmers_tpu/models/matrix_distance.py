@@ -17,8 +17,6 @@ filter semantics match the reference exactly:
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from ..core.config import CallConfig, DeviceConfig, DistanceConfig

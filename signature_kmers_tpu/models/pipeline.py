@@ -13,7 +13,7 @@ import dataclasses
 from pathlib import Path
 
 from ..core.config import Config
-from ..io import fasta as fasta_io, formats
+from ..io import formats
 from ..models.function_caller import FunctionCaller
 from ..models.signature_builder import KeptKmerArrays, SignatureBuilder
 from ..table.bucket_table import BucketKmerTable

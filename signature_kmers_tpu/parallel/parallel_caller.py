@@ -19,10 +19,10 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import alphabet
-from ..core.config import CallConfig, Config, DeviceConfig
+from ..core.config import CallConfig, DeviceConfig
 from ..io import fasta as fasta_io
 from ..models.function_caller import FunctionCaller
-from ..table.bucket_table import SLOTS, BucketKmerTable, bucket_hashes
+from ..table.bucket_table import SLOTS, BucketKmerTable
 from . import mesh as mesh_mod
 
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..core.config import TableConfig
 from ..ops import hashing
-from ..table.kmer_table import EMPTY, KmerTable
+from ..table.kmer_table import KmerTable
 
 
 def owner_of(hi, lo, n_shards: int, xp=np):
