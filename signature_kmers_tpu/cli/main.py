@@ -88,17 +88,32 @@ def _add_call(sub):
     p.add_argument("-j", "--n-threads", type=int, default=1)
     p.add_argument("--ignore-hypo", action="store_true")
     p.add_argument("--debug-hits", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard work over all local devices (dp x tp mesh)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="table-parallel shards within the mesh")
     p.set_defaults(func=cmd_call)
 
 
 def cmd_call(args):
     import dataclasses
 
+    from ..parallel import distributed
+
+    distributed.initialize()
     cfg = Config()
     table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
     call_cfg = dataclasses.replace(cfg.call,
                                    ignore_hypothetical=args.ignore_hypo)
-    caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
+    if getattr(args, "mesh", False):
+        from ..parallel.mesh import make_mesh
+        from ..parallel.parallel_caller import ParallelFunctionCaller
+
+        caller = ParallelFunctionCaller(
+            table, function_index, call_cfg, cfg.device,
+            mesh=make_mesh(tp=args.tp))
+    else:
+        caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
     out = open(args.output_file, "w") if args.output_file else sys.stdout
     try:
         for path in args.input_files:

@@ -230,3 +230,20 @@ class TestBuildCheckpoint:
             "--final-kmers", "final.kmers", "--no-recall", "--checkpoint"])
         assert rc == 0
         assert (out1 / "final.kmers").read_text() == fk1
+
+
+class TestMeshCli:
+    def test_call_functions_mesh(self, corpus, data_dir, tmp_path):
+        out1 = tmp_path / "calls_mesh.tsv"
+        out2 = tmp_path / "calls_single.tsv"
+        rc = cli_main([
+            "call-functions", "-d", str(data_dir),
+            "-i", str(corpus / "Queries" / "queries.fa"),
+            "-o", str(out1), "--mesh"])
+        assert rc == 0
+        rc = cli_main([
+            "call-functions", "-d", str(data_dir),
+            "-i", str(corpus / "Queries" / "queries.fa"),
+            "-o", str(out2)])
+        assert rc == 0
+        assert out1.read_text() == out2.read_text()
