@@ -185,6 +185,20 @@ class FunctionMap:
         return (self.original_assignment.get(seq_id, ""),
                 self.original_assignment_stripped.get(seq_id, ""))
 
+    def dump(self, path="fm.dump") -> None:
+        """Debug dump of the genome-evidence and assignment maps
+        (ref: function_map.h:334-349)."""
+        with open(path, "w", encoding="latin-1") as of:
+            of.write("function_genome_map\n")
+            for func in sorted(self.function_genome_map):
+                of.write(func + ":")
+                for g in sorted(self.function_genome_map[func]):
+                    of.write(" " + g)
+                of.write("\n")
+            of.write("id_function_map\n")
+            for fid in sorted(self.id_function_map):
+                of.write(f"{fid} '{self.id_function_map[fid]}'\n")
+
     # -- outputs -----------------------------------------------------------
 
     def function_index_rows(self):

@@ -9,8 +9,12 @@ Endpoints (surface modeled on kser_request.cc:273-489):
   GET  /version               -> framework + table info
   GET  /quit                  -> shut the server down
   GET  /dump_sizes            -> table size accounting
+  GET  /dump_mapping          -> list keyed auxiliary mappings
   GET  /genus_lookup/<genus>  -> genome name from gnames/
+  GET  /checkpoint            -> persist live table state to the data dir
   POST /add                   -> final.kmers lines; extend the live table
+  POST /mapping/<key>/add     -> build/extend a named auxiliary k-mer table
+  POST /mapping/<key>/lookup  -> FASTA body; probe a named mapping
   POST /lookup                -> FASTA body; per-k-mer hit dump per sequence
   POST /query                 -> FASTA body; call TSV (id function index score)
   POST /matrix                -> FASTA body; distance TSV with scores
@@ -37,6 +41,10 @@ class AnnotationService:
             data_dir, config)
         self._build_engines()
         self._lock = asyncio.Lock()
+        # keyed auxiliary mappings (ref: /mapping/<key>/* endpoints,
+        # kser_request.cc:440-489): named k-mer tables built via
+        # /mapping/<key>/add and probed via /mapping/<key>/lookup
+        self.mappings: dict[str, object] = {}
 
     def _build_engines(self):
         self.caller = FunctionCaller(self.table, self.function_index,
@@ -140,6 +148,81 @@ class AnnotationService:
             return p.read_text(encoding="latin-1")
         return ""
 
+    @staticmethod
+    def _parse_kmer_lines(body: bytes):
+        import numpy as np
+
+        from ..core import alphabet
+
+        his, los, v0s = [], [], []
+        for line in body.decode("latin-1").splitlines():
+            parts = line.rstrip().split("\t")
+            if len(parts) < 3 or len(parts[0]) != 8:
+                continue
+            h, l = alphabet.pack_kmer_str(parts[0])
+            his.append(h)
+            los.append(l)
+            v0s.append(((int(parts[2]) & 0xFFFF) << 16)
+                       | (int(parts[1]) & 0xFFFF))
+        return (np.asarray(his, np.uint32), np.asarray(los, np.uint32),
+                np.asarray(v0s, np.uint32))
+
+    def mapping_add_text(self, key: str, body: bytes) -> str:
+        import numpy as np
+
+        from ..table.bucket_table import BucketKmerTable
+
+        hi, lo, v0 = self._parse_kmer_lines(body)
+        if key in self.mappings:
+            t = self.mappings[key]
+            ohi, olo, ov0, ov1, ov2 = t.occupied()
+            old_keys = (ohi.astype(np.uint64) << 24) | olo
+            new_keys = (hi.astype(np.uint64) << 24) | lo
+            keep = ~np.isin(old_keys, new_keys)
+            hi = np.concatenate([ohi[keep], hi])
+            lo = np.concatenate([olo[keep], lo])
+            v0 = np.concatenate([ov0[keep], v0])
+        z = np.zeros_like(v0)
+        self.mappings[key] = BucketKmerTable.build(hi, lo, v0, z, z,
+                                                   self.config.table)
+        return f"mapping {key}: {self.mappings[key].n_items} kmers\n"
+
+    def mapping_lookup_text(self, key: str, body: bytes) -> str:
+        from ..core import alphabet
+        from ..golden.call import valid_call_windows
+
+        import numpy as np
+
+        t = self.mappings.get(key)
+        if t is None:
+            return ""
+        batch = fasta_io.SequenceBatch.from_records(fasta_io.iter_fasta(body))
+        out = io.StringIO()
+        for i in range(len(batch)):
+            codes = batch.codes[batch.offsets[i]:batch.offsets[i + 1]]
+            hi, lo = alphabet.pack_codes_np(codes)
+            ok = valid_call_windows(codes)
+            found, r0, _, _ = t.lookup_np(hi, lo)
+            found &= ok
+            for p in np.nonzero(found)[0]:
+                out.write(f"{batch.ids[i]}\t{int(p)}\t"
+                          f"{int(r0[p]) >> 16}\t{int(r0[p]) & 0xFFFF}\n")
+        return out.getvalue()
+
+    def dump_mapping_text(self) -> str:
+        """ref endpoint: GET /dump_mapping (kser_request.cc:273-412)."""
+        return "".join(f"{k}\t{t.n_items}\n"
+                       for k, t in sorted(self.mappings.items()))
+
+    def checkpoint_text(self) -> str:
+        """Persist the live table back to the data dir — the functional
+        equivalent of the reference's BLCR /checkpoint
+        (kser_request.cc:361-408): service state survives a restart."""
+        from pathlib import Path
+
+        self.table.save(Path(self.data_dir) / "kmer_data")
+        return "checkpointed\n"
+
     def matrix_text(self, body: bytes) -> str:
         batch = fasta_io.SequenceBatch.from_records(
             fasta_io.iter_fasta(body))
@@ -183,6 +266,22 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
             async with service._lock:
                 text = await asyncio.get_event_loop().run_in_executor(
                     None, service.add_text, body)
+        elif method == "GET" and path == "/dump_mapping":
+            text = service.dump_mapping_text()
+        elif method == "GET" and path == "/checkpoint":
+            async with service._lock:
+                text = service.checkpoint_text()
+        elif method == "POST" and path.startswith("/mapping/"):
+            parts = path.split("/")
+            if len(parts) == 4 and parts[3] in ("add", "lookup"):
+                key, op = parts[2], parts[3]
+                async with service._lock:
+                    fn = (service.mapping_add_text if op == "add"
+                          else service.mapping_lookup_text)
+                    text = await asyncio.get_event_loop().run_in_executor(
+                        None, fn, key, body)
+            else:
+                status, text = "404 Not Found", "unknown mapping endpoint\n"
         elif method == "POST" and path == "/query":
             async with service._lock:
                 text = await asyncio.get_event_loop().run_in_executor(

@@ -140,3 +140,25 @@ class TestServiceAdmin:
         assert found[0]
         assert int(r0[0] & 0xFFFF) == 42
         assert int(r0[0] >> 16) == 3
+
+
+class TestServiceMappings:
+    def test_keyed_mapping_and_checkpoint(self, data_dir, tmp_path):
+        from signature_kmers_tpu.service.server import AnnotationService
+
+        svc = AnnotationService(str(data_dir))
+        resp = svc.mapping_add_text("fam1", b"WWWWYYYY\t5\t11\t\nMMMMKKKK\t6\t12\t\n")
+        assert "2 kmers" in resp
+        assert svc.dump_mapping_text() == "fam1\t2\n"
+        hits = svc.mapping_lookup_text(
+            "fam1", b">s1\nAAWWWWYYYYAA\n>s2\nACDEFGHIKL\n")
+        lines = hits.splitlines()
+        assert len(lines) == 1
+        assert lines[0] == "s1\t2\t11\t5"
+        assert svc.mapping_lookup_text("missing", b">s\nMKLV\n") == ""
+        # checkpoint round trip
+        n = svc.table.n_items
+        svc.add_text(b"CCCCHHHH\t1\t2\t\n")
+        assert svc.checkpoint_text() == "checkpointed\n"
+        svc2 = AnnotationService(str(data_dir))
+        assert svc2.table.n_items == n + 1
