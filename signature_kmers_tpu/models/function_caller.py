@@ -159,6 +159,58 @@ class FunctionCaller:
         out = f(*arrays, jnp.asarray(flat), jnp.asarray(offs))
         return out
 
+    def _function_meta(self):
+        """Per-function multipart flags and lexicographic ranks for the
+        native best-call scorer (cached)."""
+        if not hasattr(self, "_fmeta"):
+            names = self.function_index
+            is_multipart = np.asarray(
+                [" / " in n for n in names], dtype=np.uint8)
+            order = sorted(range(len(names)), key=lambda i: names[i])
+            lex_rank = np.empty(len(names), dtype=np.int32)
+            for r, i in enumerate(order):
+                lex_rank[i] = r
+            self._fmeta = (is_multipart, lex_rank)
+        return self._fmeta
+
+    def _native_best_call(self, valid, out, B, overflow):
+        """Native margin-path scoring; returns list of BestCall | None
+        (None = row needs the Python path), or None when unavailable."""
+        from ..runtime import host
+
+        if not host.available() or not self.function_index:
+            return None
+        is_multipart, lex_rank = self._function_meta()
+        counts_per_row = valid.sum(axis=1)
+        flat_fI = out["fI"][:B][valid]
+        flat_count = out["count"][:B][valid]
+        if flat_fI.size and int(flat_fI.max()) >= len(self.function_index):
+            return None  # defensive: function table mismatch
+        call_off = np.concatenate(
+            [[0], np.cumsum(counts_per_row)]).astype(np.int64)
+        kind, func, score, offset, f1, f2 = host.run_best_call(
+            flat_fI, flat_count, call_off, is_multipart, lex_rank,
+            self.config.merge_interior_thresh,
+            self.config.merge_exterior_thresh,
+            self.config.call_margin, self.config.pair_margin)
+        res = []
+        for i in range(B):
+            if overflow[i] or kind[i] == 3:
+                res.append(None)
+            elif kind[i] == 0:
+                res.append(BestCall(int(func[i]),
+                                    self.function_index[int(func[i])],
+                                    float(score[i]), float(offset[i])))
+            elif kind[i] == 2:
+                n1 = self.function_index[int(f1[i])]
+                n2 = self.function_index[int(f2[i])]
+                res.append(BestCall(UNDEFINED_FUNCTION, f"{n1} ?? {n2}",
+                                    float(score[i]), float(offset[i])))
+            else:
+                res.append(BestCall(UNDEFINED_FUNCTION, "", 0.0,
+                                    float(offset[i])))
+        return res
+
     def _finalize_device(self, sub, packed_out) -> list[SequenceResult]:
         from ..ops.automaton import REC_CAP
 
@@ -193,6 +245,8 @@ class FunctionCaller:
                          & (fs[:, 1:] != (1 << 30))).sum(axis=1))
         margin = self.config.call_margin
 
+        native_best = self._native_best_call(valid, out, B, overflow)
+
         results: list[SequenceResult] = [None] * B
         slow_rows = []
         for i in range(B):
@@ -209,7 +263,9 @@ class FunctionCaller:
                               int(out["median"][i, r]),
                               float(out["mad"][i, r]))
                      for r in range(REC_CAP) if valid[i, r]]
-            if n_distinct[i] == 1:
+            if native_best is not None and native_best[i] is not None:
+                best = native_best[i]
+            elif n_distinct[i] == 1:
                 score = float(total_count[i])
                 if score >= margin:
                     fi = int(fs[i, 0])

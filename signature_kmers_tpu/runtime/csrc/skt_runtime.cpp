@@ -214,6 +214,117 @@ long skt_automaton(const int32_t *hit_pos, const int32_t *hit_func,
 }
 
 // ---------------------------------------------------------------------------
+// Best-call scoring (margin path)
+// ---------------------------------------------------------------------------
+//
+// Native find_best_call (ref: call_functions.tcc:347-659) for the common
+// case.  Sequences whose merged calls contain any multi-part function
+// (candidate fusions — the only way the fusion regex can match) are
+// flagged for the exact Python path; everything else is scored here:
+// collapse -> interior-bridge merge -> per-function totals -> ">= margin"
+// scoring with the "F1 ?? F2" fallback (string order via precomputed
+// lexicographic ranks).
+//
+// out_kind: 0 = called, 1 = no call, 2 = ambiguous pair (f1/f2 set),
+//           3 = needs the Python fusion path.
+
+long skt_best_call(const int32_t *call_fI, const int32_t *call_count,
+                   const int64_t *call_off, long n_seqs,
+                   const uint8_t *is_multipart, const int32_t *lex_rank,
+                   int interior_thresh, int exterior_thresh,
+                   double margin, double pair_margin,
+                   int32_t *out_kind, int32_t *out_func, float *out_score,
+                   float *out_offset, int32_t *out_f1, int32_t *out_f2) {
+    std::vector<std::pair<int32_t, int32_t>> merged;  // (fI, count)
+    std::vector<std::pair<int32_t, int64_t>> totals;  // (fI, count)
+    for (long s = 0; s < n_seqs; s++) {
+        int64_t b = call_off[s], e = call_off[s + 1];
+        out_kind[s] = 1;
+        out_func[s] = -1;
+        out_score[s] = 0.0f;
+        out_offset[s] = 0.0f;
+        out_f1[s] = -1;
+        out_f2[s] = -1;
+        if (e == b) continue;
+
+        // collapse adjacent same-function calls (tcc:368-389)
+        merged.clear();
+        std::vector<std::pair<int32_t, int32_t>> collapsed;
+        for (int64_t i = b; i < e; i++) {
+            if (!collapsed.empty() && collapsed.back().first == call_fI[i])
+                collapsed.back().second += call_count[i];
+            else
+                collapsed.emplace_back(call_fI[i], call_count[i]);
+        }
+        // interior-bridge merge; interior count discarded (tcc:398-434)
+        size_t i = 0;
+        while (i < collapsed.size()) {
+            merged.push_back(collapsed[i]);
+            i++;
+            while (i < collapsed.size() && i + 1 < collapsed.size()
+                   && merged.back().first == collapsed[i + 1].first
+                   && collapsed[i].second < interior_thresh
+                   && merged.back().second + collapsed[i + 1].second
+                      >= exterior_thresh) {
+                merged.back().second += collapsed[i + 1].second;
+                i += 2;
+            }
+        }
+        if (merged.size() > 1) {
+            bool fusiony = false;
+            for (auto &mc : merged)
+                if (is_multipart[mc.first]) { fusiony = true; break; }
+            if (fusiony) { out_kind[s] = 3; continue; }
+        }
+        // per-function totals, stable (-count, fI) order
+        totals.clear();
+        for (auto &mc : merged) {
+            bool found = false;
+            for (auto &t : totals)
+                if (t.first == mc.first) { t.second += mc.second; found = true; break; }
+            if (!found) totals.emplace_back(mc.first, (int64_t)mc.second);
+        }
+        std::sort(totals.begin(), totals.end(),
+                  [](const auto &a, const auto &b2) {
+                      if (a.second != b2.second) return a.second > b2.second;
+                      return a.first < b2.first;
+                  });
+        double offset = totals.size() == 1
+            ? (double)totals[0].second
+            : (double)(totals[0].second - totals[1].second);
+        out_offset[s] = (float)offset;
+        if (offset >= margin) {
+            out_kind[s] = 0;
+            out_func[s] = totals[0].first;
+            out_score[s] = (float)totals[0].second;
+            continue;
+        }
+        if (totals.size() >= 2) {
+            int32_t a = totals[0].first, b2 = totals[1].first;
+            // f1 = lexicographically greater function string (tcc:636-639)
+            int32_t f1 = (lex_rank[b2] > lex_rank[a]) ? b2 : a;
+            int32_t f2 = (f1 == a) ? b2 : a;
+            if (totals.size() == 2) {
+                out_kind[s] = 2;
+                out_f1[s] = f1;
+                out_f2[s] = f2;
+                out_score[s] = (float)totals[0].second;
+            } else {
+                double po = (double)(totals[1].second - totals[2].second);
+                if (po > pair_margin) {
+                    out_kind[s] = 2;
+                    out_f1[s] = f1;
+                    out_f2[s] = f2;
+                    out_score[s] = (float)totals[0].second;
+                    out_offset[s] = (float)po;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Single-thread CPU calling baseline
 // ---------------------------------------------------------------------------
 //

@@ -64,6 +64,14 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.skt_best_call.restype = ctypes.c_long
+        lib.skt_best_call.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.skt_cpu_baseline.restype = ctypes.c_long
         lib.skt_cpu_baseline.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
@@ -139,6 +147,34 @@ def cpu_baseline_call(codes, seq_off, table, min_hits: int, max_gap: int,
         _ptr(codes), _ptr(seq_off), seq_off.shape[0] - 1,
         _ptr(packed), table.n_buckets, np.uint32(table.salt),
         min_hits, max_gap, k, mad_floor, len_window)
+
+
+def run_best_call(call_fI, call_count, call_off, is_multipart, lex_rank,
+                  interior_thresh: int, exterior_thresh: int,
+                  margin: float, pair_margin: float):
+    """Native margin-path find_best_call over flat per-sequence call arrays.
+
+    Returns (kind, func, score, offset, f1, f2); kind 3 rows need the
+    Python fusion path."""
+    lib = _load()
+    call_fI = np.ascontiguousarray(call_fI, dtype=np.int32)
+    call_count = np.ascontiguousarray(call_count, dtype=np.int32)
+    call_off = np.ascontiguousarray(call_off, dtype=np.int64)
+    n_seqs = call_off.shape[0] - 1
+    kind = np.empty(n_seqs, np.int32)
+    func = np.empty(n_seqs, np.int32)
+    score = np.empty(n_seqs, np.float32)
+    offset = np.empty(n_seqs, np.float32)
+    f1 = np.empty(n_seqs, np.int32)
+    f2 = np.empty(n_seqs, np.int32)
+    lib.skt_best_call(
+        _ptr(call_fI), _ptr(call_count), _ptr(call_off), n_seqs,
+        _ptr(np.ascontiguousarray(is_multipart, np.uint8)),
+        _ptr(np.ascontiguousarray(lex_rank, np.int32)),
+        interior_thresh, exterior_thresh, margin, pair_margin,
+        _ptr(kind), _ptr(func), _ptr(score), _ptr(offset), _ptr(f1),
+        _ptr(f2))
+    return kind, func, score, offset, f1, f2
 
 
 def run_automaton(hit_pos, hit_func, hit_mean, hit_offsets, seq_lens,
