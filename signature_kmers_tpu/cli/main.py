@@ -41,6 +41,8 @@ def _add_build(sub):
     p.add_argument("--no-recall", action="store_true")
     p.add_argument("--checkpoint", action="store_true",
                    help="persist per-file extraction shards for resumable builds")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the selection pass over all local devices")
     p.add_argument("--host-only", action="store_true",
                    help="skip device pipelines (debug)")
     p.set_defaults(func=cmd_build)
@@ -71,6 +73,9 @@ def cmd_build(args):
         checkpoint=args.checkpoint,
         config=cfg,
         use_device=not args.host_only,
+        mesh=(__import__("signature_kmers_tpu.parallel.mesh",
+                         fromlist=["make_mesh"]).make_mesh()
+              if args.mesh else None),
     )
     print(f"kept {len(res.function_index)} functions")
     print(f"Kept {len(res.kept)} kmers")

@@ -46,6 +46,7 @@ def run_build(
     config: Config = Config(),
     use_device: bool = True,
     checkpoint: bool = False,
+    mesh=None,
 ) -> BuildResult:
     builder = SignatureBuilder(config.build, kept_log, use_device=use_device)
 
@@ -80,7 +81,7 @@ def run_build(
     ckpt_dir = (kmer_data_dir / "build.ckpt.d"
                 if (checkpoint and kmer_data_dir) else None)
     builder.extract_kmers(deleted, checkpoint_dir=ckpt_dir)
-    kept = builder.process_kmers()
+    kept = builder.process_kmers(mesh=mesh)
 
     if kmer_data_dir:
         # distinct_functions table (ref: kmers-build-signatures.cc:230-236)

@@ -278,7 +278,9 @@ class SignatureBuilder:
 
     # -- selection ---------------------------------------------------------
 
-    def process_kmers(self) -> KeptKmerArrays:
+    def process_kmers(self, mesh=None) -> KeptKmerArrays:
+        """Selection pass; with a mesh, windows are dp-sharded and routed
+        to k-mer owner shards with all-to-all (parallel/build_step.py)."""
         if not self._attr_chunks:
             e16 = np.zeros(0, dtype=np.uint16)
             e32 = np.zeros(0, dtype=np.uint32)
@@ -290,7 +292,41 @@ class SignatureBuilder:
         plen = np.concatenate([c[4] for c in self._attr_chunks]).astype(np.int32)
         sid = np.concatenate([c[5] for c in self._attr_chunks]).astype(np.int32)
         self._attr_chunks.clear()
+        if mesh is not None:
+            return self._select_sharded(mesh, hi, lo, func, off, plen, sid)
         return self._select(hi, lo, func, off, plen, sid)
+
+    def _select_sharded(self, mesh, hi, lo, func, off, plen, sid) -> KeptKmerArrays:
+        from ..parallel import build_step
+
+        ndp = mesh.shape["dp"]
+        n = hi.shape[0]
+        pad = (-n) % ndp
+        if pad:
+            sent = np.full(pad, build_step.SENTINEL, np.uint32)
+            zi = np.zeros(pad, np.int32)
+            hi = np.concatenate([hi, sent])
+            lo = np.concatenate([lo, sent])
+            func = np.concatenate([func, zi])
+            off = np.concatenate([off, zi])
+            plen = np.concatenate([plen, zi])
+            sid = np.concatenate([sid, zi])
+        outs = build_step.build_step_sharded(
+            mesh, hi, lo, func, off, plen, sid,
+            threshold=self.config.signature_threshold)
+        kept = build_step.finalize_sharded(outs)
+        out = KeptKmerArrays(**kept)
+        self.stats.distinct_signatures = len(out)
+        bf, cnt = np.unique(out.function_index, return_counts=True)
+        self.stats.distinct_functions = dict(zip(bf.tolist(), cnt.tolist()))
+        # seqs_with_a_signature over kept entries (outs: hi1, lo1, s1,
+        # kstart, keep, ... per _select_signatures_jax)
+        hi1 = np.asarray(outs[0])
+        s1 = np.asarray(outs[2])
+        keep_entry = np.asarray(outs[4]) & (hi1 != build_step.SENTINEL)
+        self.stats.seqs_with_a_signature = set(
+            np.unique(s1[keep_entry]).tolist())
+        return out
 
     def _select(self, hi, lo, func, off, plen, sid) -> KeptKmerArrays:
         import jax

@@ -247,3 +247,15 @@ class TestMeshCli:
             "-o", str(out2)])
         assert rc == 0
         assert out1.read_text() == out2.read_text()
+
+
+class TestMeshBuild:
+    def test_build_mesh_matches_single(self, corpus, data_dir, tmp_path):
+        out = tmp_path / "mesh_build"
+        rc = cli_main([
+            "build-signatures", "-D", str(corpus / "Annotations"),
+            "-F", str(corpus / "Seqs"), "--kmer-data-dir", str(out),
+            "--final-kmers", "final.kmers", "--no-recall", "--mesh"])
+        assert rc == 0
+        assert ((out / "final.kmers").read_text()
+                == (data_dir / "final.kmers").read_text())
