@@ -19,10 +19,22 @@ proteins.
 """
 
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _try_probe(timeout: int = 180) -> "subprocess.CompletedProcess | None":
+    """Run `jax.devices()` in a subprocess with a timeout; None on hang."""
+    try:
+        return subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices()[0]; print(d.platform)"],
+            capture_output=True, text=True, timeout=timeout, check=False)
+    except subprocess.TimeoutExpired:
+        return None
 
 N_KMERS_TARGET = 20_000_000
 N_QUERIES = 16384
@@ -30,16 +42,18 @@ SEQ_LEN = 300
 N_FUNCTIONS = 50_000
 
 
-def build_workload(seed=7):
+def build_workload(seed=7, n_kmers=None, n_queries=None):
     from signature_kmers_tpu.core import alphabet
     from signature_kmers_tpu.table.bucket_table import BucketKmerTable
     from signature_kmers_tpu.table.kmer_table import KmerTable
 
+    n_kmers = n_kmers or N_KMERS_TARGET
+    n_queries = n_queries or N_QUERIES
     rng = np.random.default_rng(seed)
     aa = alphabet.encode_seq(alphabet.AA20)
 
     # one long synthetic proteome; every window is a signature k-mer
-    corpus = aa[rng.integers(0, 20, N_KMERS_TARGET + 7)].astype(np.uint8)
+    corpus = aa[rng.integers(0, 20, n_kmers + 7)].astype(np.uint8)
     hi, lo = alphabet.pack_codes_np(corpus)
     fn_of_window = ((np.arange(hi.shape[0]) // SEQ_LEN)
                     % N_FUNCTIONS).astype(np.uint32)
@@ -61,10 +75,10 @@ def build_workload(seed=7):
           file=sys.stderr)
 
     # queries: windows of the corpus with ~3% point mutations
-    starts = rng.integers(0, N_KMERS_TARGET - SEQ_LEN, N_QUERIES)
+    starts = rng.integers(0, n_kmers - SEQ_LEN, n_queries)
     codes = np.stack([corpus[s:s + SEQ_LEN] for s in starts]).copy()
     nmut = max(1, int(0.03 * SEQ_LEN))
-    for q in range(N_QUERIES):
+    for q in range(n_queries):
         pos = rng.integers(0, SEQ_LEN, nmut)
         codes[q, pos] = aa[rng.integers(0, 20, nmut)]
     function_index = [f"fn{i}" for i in range(N_FUNCTIONS)] + [
@@ -80,16 +94,31 @@ def main():
     from signature_kmers_tpu.utils.jaxcache import enable_cache
 
     enable_cache()
+
+    # Probe device availability in a subprocess: a broken TPU tunnel makes
+    # jax.devices() hang forever, which would hang the whole bench.
+    probe = _try_probe()
+    if probe is None or probe.returncode != 0 or "tpu" not in probe.stdout:
+        print("WARNING: TPU backend unavailable; benchmarking on CPU "
+              "backend (numbers are NOT chip numbers)", file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
-    table, function_index, codes = build_workload()
+    if dev.platform == "cpu":
+        # fallback mode: scaled-down workload so the bench completes
+        table, function_index, codes = build_workload(
+            n_kmers=2_000_000, n_queries=2048)
+    else:
+        table, function_index, codes = build_workload()
     n_queries, seq_len = codes.shape
 
     cfg = Config()
-    dc = DeviceConfig(call_batch=8192)
+    dc = DeviceConfig(call_batch=8192 if dev.platform != "cpu" else 2048)
     caller = FunctionCaller(table, function_index, cfg.call, dc)
 
     flat = codes.reshape(-1)
