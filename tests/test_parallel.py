@@ -93,3 +93,19 @@ class TestShardedBuild:
         np.testing.assert_array_equal(kept["median"], single.median)
         np.testing.assert_array_equal(kept["var"], single.var)
         assert len(kept["hi"]) > 50
+
+
+class TestShardedNaturalBreaks:
+    def test_matches_single_device_cutoff(self, mesh8):
+        from signature_kmers_tpu.stats.natural_breaks import (
+            score_cutoff, sharded_score_cutoff)
+
+        rng = np.random.default_rng(3)
+        scores = np.concatenate([rng.normal(0.1, 0.01, 4000),
+                                 rng.normal(0.9, 0.01, 4000)]).astype(
+            np.float32)
+        rng.shuffle(scores)
+        got = sharded_score_cutoff(mesh8, scores)
+        want = score_cutoff(scores.tolist())
+        # binned cutoff within one bin width of the exact cutoff
+        assert abs(got - want) < (scores.max() - scores.min()) / 1024
