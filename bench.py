@@ -26,14 +26,33 @@ import time
 import numpy as np
 
 
-def _try_probe(timeout: int = 180) -> "subprocess.CompletedProcess | None":
-    """Run `jax.devices()` in a subprocess with a timeout; None on hang."""
+def _try_probe(timeout: int = 180) -> "str | None":
+    """Run `jax.devices()` in a subprocess with a timeout.
+
+    Returns the platform string or None when the backend hangs.  The probe
+    runs in its own process group and the whole group is killed on timeout
+    — backend helper processes inherit the stdout pipe and would otherwise
+    keep a plain subprocess.run() blocked forever."""
+    import os
+    import signal
+
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; d = jax.devices()[0]; print(d.platform)"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        start_new_session=True)
     try:
-        return subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices()[0]; print(d.platform)"],
-            capture_output=True, text=True, timeout=timeout, check=False)
+        out, _ = p.communicate(timeout=timeout)
+        return (out or "").strip() or None
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except Exception:
+            pass
+        try:
+            p.communicate(timeout=10)
+        except Exception:
+            pass
         return None
 
 N_KMERS_TARGET = 20_000_000
@@ -98,7 +117,7 @@ def main():
     # Probe device availability in a subprocess: a broken TPU tunnel makes
     # jax.devices() hang forever, which would hang the whole bench.
     probe = _try_probe()
-    if probe is None or probe.returncode != 0 or "tpu" not in probe.stdout:
+    if probe is None or "tpu" not in probe:
         print("WARNING: TPU backend unavailable; benchmarking on CPU "
               "backend (numbers are NOT chip numbers)", file=sys.stderr)
         import jax

@@ -33,8 +33,8 @@ import jax
 import jax.numpy as jnp
 
 REC_CAP = 4          # record slots per sequence (overflow -> host fallback)
-I32_INF = jnp.int32(0x7FFFFFF0)
-UNDEF = jnp.int32(0xFFFF)
+I32_INF = 0x7FFFFFF0  # plain ints: module-level jnp scalars would init the backend at import
+UNDEF = 0xFFFF
 UNROLL = 16          # positions per scan step (amortizes TPU loop overhead)
 
 

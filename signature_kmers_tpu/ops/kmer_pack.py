@@ -23,9 +23,15 @@ from ..core import alphabet
 
 K = alphabet.K
 
-# device-side lookup tables
-_CODE_IS_AA = jnp.asarray(alphabet.CODE_IS_AA)
-_CODE_IS_CALL_AMBIG = jnp.asarray(alphabet.CODE_IS_CALL_AMBIG)
+# Device-side lookup tables are materialized lazily INSIDE traced
+# functions: a module-level jnp.asarray would initialize the backend at
+# import time (and hang outright when the TPU link is down).
+def _code_is_aa():
+    return jnp.asarray(alphabet.CODE_IS_AA)
+
+
+def _code_is_call_ambig():
+    return jnp.asarray(alphabet.CODE_IS_CALL_AMBIG)
 
 
 def _window_all(flags, L):
@@ -103,8 +109,8 @@ def pack_windows(codes, lengths):
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_seq = pos + K <= lengths[:, None]
 
-    is_aa = _CODE_IS_AA[codes]
-    not_ambig = ~_CODE_IS_CALL_AMBIG[codes]
+    is_aa = _code_is_aa()[codes]
+    not_ambig = ~_code_is_call_ambig()[codes]
     build_valid = _window_all(is_aa, L) & in_seq
     call_valid = _window_all(not_ambig, L) & in_seq
     return {"hi": hi, "lo": lo, "in_seq": in_seq,
@@ -170,7 +176,7 @@ def pack_flat_windows(codes, seq_ids):
     last_ids = shifted(seq_ids, K - 1, -1)
     in_seq = (seq_ids == last_ids) & (seq_ids >= 0)
 
-    is_aa = _CODE_IS_AA[codes]
+    is_aa = _code_is_aa()[codes]
     c2 = jnp.cumsum(is_aa.astype(jnp.int32))
     c2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), c2])
     tail = jnp.full((K - 1,), 0, jnp.int32)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from . import hashing
 
-EMPTY = jnp.uint32(0xFFFFFFFF)
+EMPTY = 0xFFFFFFFF  # empty-slot key word (kept a plain int: jnp scalars at module level would init the backend at import)
 
 
 @functools.partial(jax.jit, static_argnames=("max_probes",))
@@ -42,7 +42,7 @@ def probe_table(key_hi, key_lo, v0, v1, v2, qhi, qlo, max_probes: int):
         khi = key_hi[cur]
         klo = key_lo[cur]
         hit = (khi == qhi) & (klo == qlo) & ~done
-        empty = (khi == EMPTY) & ~done
+        empty = (khi == jnp.uint32(EMPTY)) & ~done
         r0 = jnp.where(hit, v0[cur], r0)
         r1 = jnp.where(hit, v1[cur], r1)
         r2 = jnp.where(hit, v2[cur], r2)
