@@ -259,3 +259,53 @@ class TestMeshBuild:
         assert rc == 0
         assert ((out / "final.kmers").read_text()
                 == (data_dir / "final.kmers").read_text())
+
+
+class TestBuildFlagPlumbing:
+    def test_good_deleted_ignored_flags(self, corpus, tmp_path):
+        # deleted feature: drop one protein; ignored function: drop Ribosomal
+        from tests.fixtures.gen_corpus import FUNCTIONS
+
+        deleted = tmp_path / "deleted"
+        deleted.write_text("fig|1000.7.peg.1\n")
+        ignored = tmp_path / "ignored"
+        ignored.write_text(FUNCTIONS[5] + "\n")  # Ribosomal protein S12p
+        goodf = tmp_path / "goodf"
+        goodf.write_text("Rare but good function\n")
+        out = tmp_path / "kd"
+        rc = cli_main([
+            "build-signatures", "-D", str(corpus / "Annotations"),
+            "-F", str(corpus / "Seqs"), "--kmer-data-dir", str(out),
+            "--deleted-features-file", str(deleted),
+            "--ignored-functions-file", str(ignored),
+            "--good-functions", str(goodf),
+            "--no-recall"])
+        assert rc == 0
+        funcs = formats.read_function_index(out / "function.index")
+        assert FUNCTIONS[5] not in funcs          # ignored dropped
+        assert "Rare but good function" not in funcs  # good but zero evidence
+        assert "hypothetical protein" in funcs
+
+    def test_min_reps_filters_functions(self, corpus, tmp_path):
+        out = tmp_path / "kd2"
+        rc = cli_main([
+            "build-signatures", "-D", str(corpus / "Annotations"),
+            "-F", str(corpus / "Seqs"), "--kmer-data-dir", str(out),
+            "--min-reps-required", "100", "--no-recall"])
+        assert rc == 0
+        funcs = formats.read_function_index(out / "function.index")
+        # nothing reaches 100 genomes; only the forced hypothetical remains
+        assert funcs == ["hypothetical protein"]
+
+    def test_keep_functions_dir(self, corpus, tmp_path):
+        # -K marks functions seen in those files as kept regardless of reps
+        out = tmp_path / "kd3"
+        rc = cli_main([
+            "build-signatures", "-D", str(corpus / "Annotations"),
+            "-K", str(corpus / "Seqs"), "--kmer-data-dir", str(out),
+            "--min-reps-required", "100", "--no-recall"])
+        assert rc == 0
+        funcs = formats.read_function_index(out / "function.index")
+        from tests.fixtures.gen_corpus import FUNCTIONS
+        for fn in FUNCTIONS:
+            assert fn in funcs
