@@ -396,7 +396,10 @@ class FunctionCaller:
                     deflines=batch.deflines[s:e],
                 )
 
-        if self.use_device and not keep_hits:
+        # the device/native automatons implement the production semantics;
+        # the (reference-disabled) order_constraint gate lives only in the
+        # exact Python path
+        if self.use_device and not keep_hits and not self.config.order_constraint:
             # dispatch every chunk asynchronously, then finalize in order —
             # host scoring overlaps device compute and transfers
             pending = [(sub, self._dispatch_device(sub)) for sub in subs()]
@@ -425,7 +428,7 @@ class FunctionCaller:
             found &= func != self.hypo_index
 
         native = None
-        if not keep_hits:
+        if not keep_hits and not self.config.order_constraint:
             from ..runtime import host
             if host.available():
                 native = host

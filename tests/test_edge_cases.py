@@ -145,3 +145,34 @@ class TestOrderConstraint:
         cfg = CallConfig()
         hits = [KmerHit(p, 0, 1, 300, 0, 0) for p in range(0, 50, 10)]
         assert len(process_hits(hits, 300.0, cfg, -2)) == 1
+
+
+class TestOrderConstraintCaller:
+    def test_caller_honors_order_constraint(self):
+        # order_constraint gates hits whose spacing is inconsistent with
+        # avg_from_end; the caller must take the exact Python path
+        cfg = CallConfig(order_constraint=True)
+        entries = []
+        rng = np.random.default_rng(4)
+        seq = "".join(rng.choice(list(alphabet.AA20)) for _ in range(300))
+        # consistent run: avg_from_end decreasing with position
+        for i, p in enumerate(range(0, 60, 6)):
+            entries.append((seq[p:p + 8], 250 - p, 1, 300, 300, 0))
+        table = make_table(entries)
+        caller = FunctionCaller(table, FUSION_FUNCS, cfg)
+        batch = fasta.SequenceBatch.from_records(
+            [fasta.FastaRecord("oc1", "", seq)])
+        res = caller.call_batch(batch)[0]
+        assert res.best.function_index == 1  # consistent spacing -> called
+
+        # golden equivalence
+        from signature_kmers_tpu.golden.call import GoldenFunctionCaller
+        store = {}
+        for k, a, f, me, md, v in entries:
+            h, l = alphabet.pack_kmer_str(k)
+            store[(h, l)] = type("KD", (), dict(
+                avg_from_end=a, function_index=f, mean=me, median=md,
+                var=v))()
+        g = GoldenFunctionCaller(store.get, FUSION_FUNCS, cfg)
+        _, gbest, _ = g.call_sequence(seq)
+        assert res.best == gbest
