@@ -407,9 +407,11 @@ class FunctionCaller:
                 results.extend(self._finalize_device(sub, out))
             return results
 
+        # the order_constraint gate consumes avg_from_end -> needs aux
+        need_aux = keep_hits or self.config.order_constraint
         for sub in subs():
             codes, lengths = pad_bucketed(sub, cfg.call_batch)
-            out = self.gather_hits_batch(codes, lengths, need_aux=keep_hits)
+            out = self.gather_hits_batch(codes, lengths, need_aux=need_aux)
             results.extend(self._score_batch(sub, out, keep_hits))
         return results
 
@@ -454,12 +456,13 @@ class FunctionCaller:
                     calls=calls, best=best))
             return results
 
-        if keep_hits:
+        have_aux = len(gathered) > 3
+        if have_aux:
             avg, median, var = gathered[3][:B], gathered[4][:B], gathered[5][:B]
         for i in range(B):
             true_len = int(true_lens[i])
             pos_list = np.nonzero(found[i])[0]
-            if keep_hits:
+            if have_aux:
                 hits = [KmerHit(int(p), int(avg[i, p]), int(func[i, p]),
                                 int(mean[i, p]), int(median[i, p]),
                                 int(var[i, p])) for p in pos_list]

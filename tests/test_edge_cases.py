@@ -155,9 +155,11 @@ class TestOrderConstraintCaller:
         entries = []
         rng = np.random.default_rng(4)
         seq = "".join(rng.choice(list(alphabet.AA20)) for _ in range(300))
-        # consistent run: avg_from_end decreasing with position
+        # consistent run EXCEPT two hits with wildly wrong avg_from_end,
+        # which the gate must drop (they would otherwise join the buffer)
         for i, p in enumerate(range(0, 60, 6)):
-            entries.append((seq[p:p + 8], 250 - p, 1, 300, 300, 0))
+            a = 250 - p if i not in (3, 4) else 900
+            entries.append((seq[p:p + 8], a, 1, 300, 300, 0))
         table = make_table(entries)
         caller = FunctionCaller(table, FUSION_FUNCS, cfg)
         batch = fasta.SequenceBatch.from_records(
