@@ -124,11 +124,11 @@ class MatrixDistance:
                 # table arrays are call arguments, not jit constants
                 @jax.jit
                 def f(packed, aux, codes, lengths):
-                    win = kmer_pack.pack_windows(codes, lengths)
+                    whi, wlo, call_valid = kmer_pack.pack_call_windows(
+                        codes, lengths)
                     found, fm, r0, r1, r2 = probe_ops.probe_bucket(
-                        packed, win["hi"], win["lo"], salt, aux)
-                    return (found & win["call_valid"], r0, r1, r2,
-                            win["hi"], win["lo"])
+                        packed, whi, wlo, salt, aux)
+                    return found & call_valid, r0, r1, r2, whi, wlo
 
                 self._jit_gather = f
             found, r0, r1, r2, whi, wlo = self._jit_gather(

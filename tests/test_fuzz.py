@@ -139,3 +139,51 @@ class _KD:
         self.mean = mean
         self.median = med
         self.var = var
+
+
+class TestDistanceFuzz:
+    def test_matrix_distance_random(self):
+        from signature_kmers_tpu.core.config import CallConfig
+        from signature_kmers_tpu.golden.distance import compute_distance
+        from signature_kmers_tpu.io.fasta import FastaRecord, SequenceBatch
+        from signature_kmers_tpu.models.matrix_distance import MatrixDistance
+
+        rng = np.random.default_rng(31)
+        aa = alphabet.encode_seq(alphabet.AA20)
+        corpus = aa[rng.integers(0, 20, 20000)].astype(np.uint8)
+        hi, lo = alphabet.pack_codes_np(corpus)
+        pk = (hi.astype(np.uint64) << 24) | lo
+        _, idx = np.unique(pk, return_index=True)
+        idx = idx[rng.random(idx.shape[0]) < 0.5]
+        n = idx.shape[0]
+        fn = rng.integers(0, len(FUNCS), n).astype(np.uint16)
+        mean = rng.integers(100, 400, n).astype(np.uint16)
+        var = np.where(rng.random(n) < 0.3, 0,
+                       rng.integers(1, 20000, n)).astype(np.uint16)
+        avg = rng.integers(0, 400, n).astype(np.uint16)
+        med = rng.integers(100, 400, n).astype(np.uint16)
+        table = BucketKmerTable.from_stats(hi[idx], lo[idx], avg, fn, mean,
+                                           med, var)
+        store = {(int(hi[i]), int(lo[i])):
+                 _KD(int(avg[j]), int(fn[j]), int(mean[j]), int(med[j]),
+                     int(var[j]))
+                 for j, i in enumerate(idx)}
+
+        recs = []
+        for q in range(60):
+            ln = int(rng.integers(50, 350))
+            start = int(rng.integers(0, 20000 - ln))
+            recs.append(FastaRecord(
+                f"s{q}", "", alphabet.decode_codes(corpus[start:start + ln])))
+        batch = SequenceBatch.from_records(recs)
+
+        md = MatrixDistance(table, FUNCS)
+        got = md.compute([batch])
+
+        from signature_kmers_tpu.golden.call import GoldenFunctionCaller
+
+        gc = GoldenFunctionCaller(store.get, FUNCS,
+                                  CallConfig(ignore_hypothetical=True))
+        want = compute_distance(gc, [batch])
+        assert got.pairs == want.pairs
+        assert got.ids == want.ids
