@@ -63,45 +63,64 @@ def iter_fasta(source) -> Iterator[FastaRecord]:
         fh = source
         close = False
 
+    # Literal transcription of the reference char DFA
+    # (fasta_parser.h:38-144 + fasta_parser.cc:17-36).  This is the
+    # behavioral spec and the no-toolchain fallback; the native scanner
+    # (runtime/csrc) is the bulk path and is fuzzed against this
+    # (tests/test_fasta_fuzz.py, tests/test_runtime.py).
+    S_START, S_ID, S_DEFLINE, S_DATA, S_ID_OR_DATA = range(5)
     try:
-        cur_id: str | None = None
-        cur_def = ""
-        seq_parts: list[str] = []
-        first_data_line = True
-        for raw in fh:
-            line = raw.rstrip("\n").replace("\r", "")
-            if line.startswith(">"):
-                if cur_id is not None:
-                    yield FastaRecord(cur_id, cur_def, "".join(seq_parts))
-                header = line[1:]
-                # id runs to the first blank; defline keeps the blank
-                cut = len(header)
-                for i, ch in enumerate(header):
-                    if ch in (" ", "\t"):
-                        cut = i
-                        break
-                cur_id = header[:cut]
-                cur_def = header[cut:]
-                seq_parts = []
-                first_data_line = True
-            else:
-                if cur_id is None:
-                    # Leading garbage before the first '>' (reference
-                    # errors per char and continues, fasta_parser.h:53-62).
+        state = S_START
+        cur_id: list[str] = []
+        cur_def: list[str] = []
+        cur_seq: list[str] = []
+        started = False
+        while True:
+            chunk = fh.read(1 << 16)
+            if not chunk:
+                break
+            for c in chunk:
+                if c == "\r":
                     continue
-                data = line
-                if not first_data_line:
-                    # Continuation line: the DFA is in s_id_or_data, which
-                    # only accepts a letter as the first kept character
-                    # ('*' or digits at line start are dropped with an
-                    # error in the reference, fasta_parser.h:109-133).
-                    data = _strip_nonalpha_prefix(data)
-                # (The first data line starts in s_data, where '*' is a
-                # legal leading character, fasta_parser.h:91-107.)
-                seq_parts.append(_filter_data(data))
-                first_data_line = False
-        if cur_id is not None:
-            yield FastaRecord(cur_id, cur_def, "".join(seq_parts))
+                if state == S_START:
+                    if c == ">":
+                        state = S_ID
+                        started = True
+                    # other chars: per-char error, dropped
+                elif state == S_ID:
+                    if c in (" ", "\t"):
+                        cur_def.append(c)
+                        state = S_DEFLINE
+                    elif c == "\n":
+                        state = S_DATA
+                    else:
+                        cur_id.append(c)
+                elif state == S_DEFLINE:
+                    if c == "\n":
+                        state = S_DATA
+                    else:
+                        cur_def.append(c)
+                elif state == S_DATA:
+                    if c == "\n":
+                        state = S_ID_OR_DATA
+                    elif _KEEP_DATA[ord(c) & 0xFF] and c != ">":
+                        cur_seq.append(c)
+                    # other chars (incl. '>'): error, dropped
+                elif state == S_ID_OR_DATA:
+                    if c == ">":
+                        yield FastaRecord("".join(cur_id), "".join(cur_def),
+                                          "".join(cur_seq))
+                        cur_id, cur_def, cur_seq = [], [], []
+                        state = S_ID
+                    elif c == "\n":
+                        pass
+                    elif _IS_ALPHA[ord(c) & 0xFF]:
+                        cur_seq.append(c)
+                        state = S_DATA
+                    # other chars (incl. '*'): error, dropped
+        if started:
+            yield FastaRecord("".join(cur_id), "".join(cur_def),
+                              "".join(cur_seq))
     finally:
         if close:
             fh.close()

@@ -59,41 +59,66 @@ long skt_scan_fasta(const char *buf, long n,
         long j = i;
         while (j < n && buf[j] != '\n') j++;
         long len = j - i;
-        // strip CR anywhere (handled by skipping below)
-        if (len > 0 && buf[i] == '>') {
-            if (in_seq) {
-                nseq++;
-                code_off[nseq] = ncodes;
-                id_off[nseq] = nid;
-                def_off[nseq] = ndef;
-            }
-            in_seq = true;
-            first_data_line = true;
-            // id = up to first blank; def = remainder INCLUDING the blank
-            long p = i + 1;
-            while (p < j && buf[p] != ' ' && buf[p] != '\t' && buf[p] != '\r') {
-                id_heap[nid++] = buf[p++];
-            }
-            while (p < j) {
-                if (buf[p] != '\r') def_heap[ndef++] = buf[p];
+        long header_at = -1;  // position AFTER a '>' that opens a record
+        if (!in_seq) {
+            // s_start: every char before the first '>' is error-dropped,
+            // so '>' opens a record anywhere in the line
+            // (fasta_parser.h:53-62)
+            for (long p = i; p < j; p++)
+                if (buf[p] == '>') { header_at = p + 1; break; }
+            if (header_at < 0) { i = j + 1; continue; }
+        } else if (!first_data_line) {
+            // s_id_or_data: leading non-letters are dropped one by one;
+            // a '>' in that run ends the record (fasta_parser.h:109-133)
+            long p = i;
+            while (p < j && !is_alpha_tab[(unsigned char)buf[p]]) {
+                if (buf[p] == '>') { header_at = p + 1; break; }
                 p++;
             }
-        } else if (in_seq) {
-            long p = i;
-            if (!first_data_line) {
-                // continuation line: drop leading non-letters
-                // (s_id_or_data accepts only isalpha, fasta_parser.h:109-133)
-                while (p < j && !is_alpha_tab[(unsigned char)buf[p]]) p++;
-            } else {
-                // first data line starts in s_data where '*' is legal;
-                // other non-letters at line start are dropped one by one
-                while (p < j && !keep_data[(unsigned char)buf[p]]) p++;
+            if (header_at < 0) {
+                for (; p < j; p++) {
+                    unsigned char c = (unsigned char)buf[p];
+                    if (keep_data[c]) codes[ncodes++] = code_tab[c];
+                }
+                i = j + 1;
+                continue;
             }
-            for (; p < j; p++) {
+            // emit the finished record below, then parse the header
+            nseq++;
+            code_off[nseq] = ncodes;
+            id_off[nseq] = nid;
+            def_off[nseq] = ndef;
+            in_seq = false;
+        } else {
+            // s_data (first line after a header): every char including
+            // '>' is independently kept or error-dropped
+            // (fasta_parser.h:91-107)
+            for (long p = i; p < j; p++) {
                 unsigned char c = (unsigned char)buf[p];
                 if (keep_data[c]) codes[ncodes++] = code_tab[c];
             }
-            if (len > 0) first_data_line = false;
+            // the '\n' ending this (possibly empty) line moves the DFA
+            // from s_data to s_id_or_data
+            (void)len;
+            first_data_line = false;
+            i = j + 1;
+            continue;
+        }
+        // parse header starting at header_at ('\r' is skipped everywhere,
+        // fasta_parser.h:47-48; a blank ends the id and begins the defline)
+        in_seq = true;
+        first_data_line = true;
+        long p = header_at;
+        while (p < j) {
+            char c = buf[p];
+            if (c == '\r') { p++; continue; }
+            if (c == ' ' || c == '\t') break;
+            id_heap[nid++] = c;
+            p++;
+        }
+        while (p < j) {
+            if (buf[p] != '\r') def_heap[ndef++] = buf[p];
+            p++;
         }
         i = j + 1;
     }
