@@ -115,8 +115,17 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
                               indices_are_sorted=True)[kid]
     c = s_best // jnp.maximum(best_count, 1)
     d = jnp.where(is_best, p1 - c, 0)
-    sum_d2 = jops.segment_sum(d * d, kid, num_segments=n,
-                              indices_are_sorted=True)[kid]
+    # d^2 can reach 65535^2 > int32; square exactly in uint32 and
+    # accumulate split 16-bit channels (each sum int32-safe to 32767
+    # occurrences), recombined in int64 on the host
+    du = jnp.abs(d).astype(jnp.uint32)
+    sq = du * du
+    sum_d2_hi = jops.segment_sum((sq >> 16).astype(jnp.int32), kid,
+                                 num_segments=n,
+                                 indices_are_sorted=True)[kid]
+    sum_d2_lo = jops.segment_sum((sq & jnp.uint32(0xFFFF)).astype(jnp.int32),
+                                 kid, num_segments=n,
+                                 indices_are_sorted=True)[kid]
 
     # best-pair first index -> median rank selection
     pair_first = jops.segment_min(idx, pid, num_segments=n,
@@ -135,7 +144,7 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
     avg_from_end = o2[jnp.clip(kfirst + ktotal // 2, 0, n - 1)]
 
     return (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
-            s_best, sum_d2, med_lo, med_hi, avg_from_end)
+            s_best, sum_d2_hi, sum_d2_lo, med_lo, med_hi, avg_from_end)
 
 
 class SignatureBuilder:
@@ -336,7 +345,8 @@ class SignatureBuilder:
             sel = jax.jit(_select_signatures_jax, static_argnames=("threshold",))(
                 hi, lo, func, off, plen, sid, threshold=thresh)
             (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
-             s_best, sum_d2, med_lo, med_hi, avg_from_end) = map(np.asarray, sel)
+             s_best, sum_d2_hi, sum_d2_lo, med_lo, med_hi,
+             avg_from_end) = map(np.asarray, sel)
         else:
             raise NotImplementedError("host selection path is golden/build.py")
 
@@ -347,7 +357,8 @@ class SignatureBuilder:
         # exact int64 finalization (see FIDELITY.md)
         n_b = best_count[ridx].astype(np.int64)
         s_b = s_best[ridx].astype(np.int64)
-        d2 = sum_d2[ridx].astype(np.int64)
+        d2 = (sum_d2_hi[ridx].astype(np.int64) << 16) \
+            + sum_d2_lo[ridx].astype(np.int64)
         mean_u16 = ((s_b // n_b) & 0xFFFF).astype(np.uint16)
         ml = med_lo[ridx].astype(np.int64)
         mh = med_hi[ridx].astype(np.int64)

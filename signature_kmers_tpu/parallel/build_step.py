@@ -97,7 +97,7 @@ def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
     fn = shard_map(
         route_and_select, mesh=mesh,
         in_specs=(P("dp"),) * 6,
-        out_specs=(P("dp"),) * 13,
+        out_specs=(P("dp"),) * 14,
     )
     import jax.numpy as jnp
 
@@ -112,12 +112,14 @@ def finalize_sharded(outputs):
     Mirrors SignatureBuilder._select's host step, additionally dropping
     SENTINEL padding groups."""
     (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
-     s_best, sum_d2, med_lo, med_hi, avg_from_end) = map(np.asarray, outputs)
+     s_best, sum_d2_hi, sum_d2_lo, med_lo, med_hi,
+     avg_from_end) = map(np.asarray, outputs)
     reps = kstart & keep & (hi1 != SENTINEL)
     ridx = np.nonzero(reps)[0]
     n_b = best_count[ridx].astype(np.int64)
     s_b = s_best[ridx].astype(np.int64)
-    d2 = sum_d2[ridx].astype(np.int64)
+    d2 = (sum_d2_hi[ridx].astype(np.int64) << 16) \
+        + sum_d2_lo[ridx].astype(np.int64)
     mean_u16 = ((s_b // n_b) & 0xFFFF).astype(np.uint16)
     ml = med_lo[ridx].astype(np.int64)
     mh = med_hi[ridx].astype(np.int64)

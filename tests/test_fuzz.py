@@ -187,3 +187,48 @@ class TestDistanceFuzz:
         want = compute_distance(gc, [batch])
         assert got.pairs == want.pairs
         assert got.ids == want.ids
+
+
+class TestBuildSelectFuzz:
+    def test_select_vs_golden_random_attrs(self):
+        """Device sort+segment selection vs the dict-based golden spec on
+        random attribute multisets (incl. big variances that wrap uint16
+        and tie-heavy function counts)."""
+        from signature_kmers_tpu.golden.build import GoldenSignatureBuilder
+        from signature_kmers_tpu.models.signature_builder import (
+            SignatureBuilder)
+
+        rng = np.random.default_rng(41)
+        n = 60000
+        hi = rng.integers(0, 800, n).astype(np.uint32)
+        lo = (hi * 31 % 101).astype(np.uint32)
+        func = rng.integers(0, 6, n).astype(np.int32)
+        dominant = hi % 2 == 0
+        func = np.where(dominant, (hi % 6).astype(np.int32), func)
+        off = rng.integers(0, 60000, n).astype(np.int32)
+        # bimodal lengths -> large variances that exceed uint16
+        plen = np.where(rng.random(n) < 0.5,
+                        rng.integers(50, 200, n),
+                        rng.integers(40000, 65000, n)).astype(np.int32)
+        sid = rng.integers(0, 5000, n).astype(np.int32)
+
+        sb = SignatureBuilder()
+        got = sb._select(hi, lo, func, off, plen, sid)
+
+        gb = GoldenSignatureBuilder()
+        for i in range(n):
+            key = (int(hi[i]), int(lo[i]))
+            gb.kmer_attributes.setdefault(key, []).append(
+                (int(func[i]), int(off[i]), int(sid[i]), int(plen[i])))
+        gb.process_kmers()
+        g_hi, g_lo, g_avg, g_fn, g_mean, g_med, g_var = gb.kept_arrays()
+
+        assert len(got) == g_hi.shape[0]
+        np.testing.assert_array_equal(got.hi, g_hi)
+        np.testing.assert_array_equal(got.lo, g_lo)
+        np.testing.assert_array_equal(got.function_index, g_fn)
+        np.testing.assert_array_equal(got.avg_from_end, g_avg)
+        np.testing.assert_array_equal(got.mean, g_mean)
+        np.testing.assert_array_equal(got.median, g_med)
+        np.testing.assert_array_equal(got.var, g_var)
+        assert sb.stats.seqs_with_a_signature == gb.stats.seqs_with_a_signature
