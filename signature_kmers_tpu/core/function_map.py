@@ -83,7 +83,11 @@ class FunctionMap:
         """Scan a per-genome FASTA for assignments + genome evidence
         (ref: function_map.h:120-238)."""
         genome = ""
-        for rec in fasta_io.iter_fasta(path):
+        batch = fasta_io.read_fasta_batch(path)
+        lengths = batch.lengths
+        for i in range(len(batch)):
+            rec = fasta_io.FastaRecord(batch.ids[i], batch.deflines[i], "")
+            seq_len = int(lengths[i])
             if not rec.id or rec.id in deleted_fids:
                 continue
             func = ""
@@ -122,7 +126,7 @@ class FunctionMap:
                 self.function_genome_map.setdefault(func, set()).add(genome)
                 if keep_function_flag:
                     self.good_functions.add(func)
-                self.function_lengths.setdefault(func, []).append(len(rec.seq))
+                self.function_lengths.setdefault(func, []).append(seq_len)
 
     # -- keep policy -------------------------------------------------------
 

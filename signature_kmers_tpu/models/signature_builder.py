@@ -233,10 +233,12 @@ class SignatureBuilder:
     def _extract_file(self, file_number, path, deleted_fids, k):
         seqs = []
         next_id = file_number * self.config.max_seqs_per_file
-        for rec in fasta_io.iter_fasta(path):
-            if not rec.id or rec.id in deleted_fids:
+        batch = fasta_io.read_fasta_batch(path)
+        for i in range(len(batch)):
+            sid_str = batch.ids[i]
+            if not sid_str or sid_str in deleted_fids:
                 continue
-            func = self.fm.lookup_function(rec.id)
+            func = self.fm.lookup_function(sid_str)
             if not func:
                 continue  # no id consumed (signature_build.tcc:133-136)
             sid = next_id
@@ -246,7 +248,8 @@ class SignatureBuilder:
                 continue  # id consumed (signature_build.tcc:138-158)
             self.stats.seqs_with_func[fidx] = \
                 self.stats.seqs_with_func.get(fidx, 0) + 1
-            seqs.append((sid, fidx, alphabet.encode_seq(rec.seq)))
+            seqs.append((sid, fidx,
+                         batch.codes[batch.offsets[i]:batch.offsets[i + 1]]))
         if seqs:
             self._extract_from_seqs(seqs, k)
 
