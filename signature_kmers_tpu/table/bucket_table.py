@@ -76,6 +76,11 @@ class BucketKmerTable:
         v1 = np.asarray(v1, dtype=np.uint32)
         v2 = np.asarray(v2, dtype=np.uint32)
         n = hi.shape[0]
+        if n:
+            packed_keys = (hi.astype(np.uint64) << 24) | lo
+            if np.unique(packed_keys).shape[0] != n:
+                raise ValueError(
+                    "duplicate k-mer keys in table build input")
         # bucket load target ~0.7 of slot capacity
         want_slots = max(config.min_size, int(n / 0.7) + SLOTS)
         n_buckets = hashing.next_pow2(-(-want_slots // SLOTS))

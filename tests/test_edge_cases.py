@@ -178,3 +178,47 @@ class TestOrderConstraintCaller:
         g = GoldenFunctionCaller(store.get, FUSION_FUNCS, cfg)
         _, gbest, _ = g.call_sequence(seq)
         assert res.best == gbest
+
+
+class TestRecCapOverflow:
+    def test_overflow_rows_fall_back_to_host_exactly(self):
+        # craft > REC_CAP flush events: many gap-separated runs
+        from signature_kmers_tpu.golden.call import GoldenFunctionCaller
+        from signature_kmers_tpu.ops.automaton import REC_CAP
+
+        rng = np.random.default_rng(8)
+        L = 2560
+        seq = "".join(rng.choice(list(alphabet.AA20)) for _ in range(L))
+        entries = []
+        n_runs = REC_CAP + 3
+        for r in range(n_runs):
+            base = r * 300  # gaps of ~250 > max_gap=200
+            for p in range(base, base + 36, 6):
+                entries.append((seq[p:p + 8], 0, 1 + (r % 2), L, L, 0))
+        table = make_table(entries)
+        caller = FunctionCaller(table, FUSION_FUNCS + ["Extra"])
+        batch = fasta.SequenceBatch.from_records(
+            [fasta.FastaRecord("ovf", "", seq)])
+        res = caller.call_batch(batch)[0]
+
+        store = {}
+        for k, a, f, me, md, v in entries:
+            h, l = alphabet.pack_kmer_str(k)
+            store[(h, l)] = type("KD", (), dict(
+                avg_from_end=a, function_index=f, mean=me, median=md,
+                var=v))()
+        g = GoldenFunctionCaller(store.get, FUSION_FUNCS + ["Extra"])
+        gcalls, gbest, _ = g.call_sequence(seq)
+        assert len(gcalls) > REC_CAP  # really overflows
+        assert len(res.calls) == len(gcalls)
+        assert res.best == gbest
+
+
+class TestDuplicateKeys:
+    def test_build_rejects_duplicates(self):
+        import pytest
+        with pytest.raises(ValueError):
+            BucketKmerTable.build(
+                np.asarray([5, 5], np.uint32), np.asarray([9, 9], np.uint32),
+                np.zeros(2, np.uint32), np.zeros(2, np.uint32),
+                np.zeros(2, np.uint32))
