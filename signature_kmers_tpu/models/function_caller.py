@@ -140,6 +140,12 @@ class FunctionCaller:
         import jax.numpy as jnp
 
         rows = self.device_config.call_batch
+        if len(sub) <= rows // 2:
+            # undersized chunk (tail, or long-protein splitting): shrink to
+            # the next power of two so padding work stays proportional
+            rows = 64
+            while rows < len(sub):
+                rows <<= 1
         lens = sub.lengths
         nat = int(lens.max()) if len(sub) else 128
         L = 128
@@ -386,15 +392,28 @@ class FunctionCaller:
         results: list[SequenceResult] = []
         n = len(batch)
 
+        # cap rows x padded-length cells per chunk: one long protein must
+        # not inflate the whole chunk's padded width into OOM territory
+        CELL_BUDGET = 8 << 20
+        lens_all = batch.lengths
+
         def subs():
-            for s in range(0, n, cfg.call_batch):
+            s = 0
+            while s < n:
                 e = min(s + cfg.call_batch, n)
+                while e - s > 1:
+                    lmax = int(lens_all[s:e].max())
+                    L = max(128, -(-lmax // 128) * 128)
+                    if (e - s) * L <= CELL_BUDGET:
+                        break
+                    e = s + max(1, (e - s) // 2)
                 yield fasta_io.SequenceBatch(
                     codes=batch.codes[batch.offsets[s]:batch.offsets[e]],
                     offsets=batch.offsets[s:e + 1] - batch.offsets[s],
                     ids=batch.ids[s:e],
                     deflines=batch.deflines[s:e],
                 )
+                s = e
 
         # the device/native automatons implement the production semantics;
         # the (reference-disabled) order_constraint gate lives only in the
