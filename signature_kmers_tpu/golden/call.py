@@ -218,9 +218,17 @@ def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str
             key_info[fkey] = (c.function_index, func)
 
         if _FUSION_RE.match(exp):
-            a_mean = np.mean(part_stats["A"])
-            w_mean = np.mean(part_stats["W"])
-            b_mean = np.mean(part_stats["B"])
+            def f32_mean(xs):
+                # the reference accumulates part stats in float32
+                # (acc::accumulator_set<float, ...>, call_functions.tcc:470)
+                s = np.float32(0.0)
+                for x in xs:
+                    s = np.float32(s + np.float32(x))
+                return np.float32(s / np.float32(len(xs)))
+
+            a_mean = f32_mean(part_stats["A"])
+            w_mean = f32_mean(part_stats["W"])
+            b_mean = f32_mean(part_stats["B"])
             diff = (a_mean + b_mean) - w_mean
             frac = abs(diff) / w_mean
             if frac < config.fusion_tolerance:
