@@ -17,6 +17,7 @@ Endpoints (surface modeled on kser_request.cc:273-489):
   POST /mapping/<key>/lookup  -> FASTA body; probe a named mapping
   POST /lookup                -> FASTA body; per-k-mer hit dump per sequence
   POST /query                 -> FASTA body; call TSV (id function index score)
+  POST /fq_lookup             -> FASTQ body; six-frame translated calls
   POST /matrix                -> FASTA body; distance TSV with scores
 """
 
@@ -129,6 +130,52 @@ class AnnotationService:
             self.config.table)
         self._build_engines()
         return f"added {len(his)}\n"
+
+    def fq_lookup_text(self, body: bytes) -> str:
+        """POST /fq_lookup: FASTQ body; six-frame translated function calls.
+
+        The reference routes this to ``FqProcessRequest``
+        (kser_request.cc:473-476), implemented in the external PATRIC
+        kmer-annotation-service repo: DNA reads are translated in all six
+        frames and streamed through the protein k-mer lookup.  Output here
+        is one row per called read: ``id \\t frame \\t function \\t index
+        \\t score`` for the best-scoring frame (ties -> the earlier frame
+        in +1 +2 +3 -1 -2 -3 order); uncalled reads are omitted.
+        """
+        from ..core import dna
+        from ..io import fastq as fastq_io
+
+        reads = list(fastq_io.iter_fastq(body))
+        ids, defs, frames, seqs = [], [], [], []
+        for rec in reads:
+            for frame, pep in dna.six_frame_translations(rec.seq):
+                if len(pep) < self.config.call.k:
+                    continue
+                ids.append(rec.id)
+                defs.append("")
+                frames.append(frame)
+                seqs.append(pep)
+        if not ids:
+            return ""
+        batch = fasta_io.SequenceBatch.from_records(
+            fasta_io.FastaRecord(i, d, s)
+            for i, d, s in zip(ids, defs, seqs))
+        best: dict[str, tuple[float, int, object]] = {}
+        order: list[str] = []
+        for frame, res in zip(frames, self.caller.call_batch(batch)):
+            if res.best.function_index == 0xFFFF:
+                continue
+            if res.seq_id not in best:
+                order.append(res.seq_id)
+            prev = best.get(res.seq_id)
+            if prev is None or res.best.score > prev[0]:
+                best[res.seq_id] = (res.best.score, frame, res.best)
+        out = io.StringIO()
+        for rid in order:
+            score, frame, b = best[rid]
+            out.write(f"{rid}\t{frame:+d}\t{b.function}\t"
+                      f"{b.function_index}\t{formats.cxx_num(score)}\n")
+        return out.getvalue()
 
     def dump_sizes_text(self) -> str:
         """ref endpoint surface: GET /dump_sizes (kser_request.cc:273-412)."""
@@ -290,6 +337,10 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
             async with service._lock:
                 text = await asyncio.get_event_loop().run_in_executor(
                     None, service.lookup_text, body)
+        elif method == "POST" and path == "/fq_lookup":
+            async with service._lock:
+                text = await asyncio.get_event_loop().run_in_executor(
+                    None, service.fq_lookup_text, body)
         elif method == "POST" and path == "/matrix":
             async with service._lock:
                 text = await asyncio.get_event_loop().run_in_executor(
