@@ -104,9 +104,10 @@ class FunctionCaller:
             ignore_hypo = cfg.ignore_hypothetical
 
             @jax.jit
-            def f(packed, flat_codes, offsets):
+            def f(packed, codes_u6, offsets):
                 import jax.numpy as jnp
 
+                flat_codes = kmer_pack.unpack_u6(codes_u6)
                 codes, lengths = kmer_pack.expand_flat(flat_codes, offsets, L)
                 whi, wlo, call_valid = kmer_pack.pack_call_windows(
                     codes, lengths)
@@ -151,18 +152,23 @@ class FunctionCaller:
         L = 128
         while L < nat:
             L += 128
-        # flat codes padded to a coarse bucket; offsets padded to a fixed
-        # row count -> few distinct compile shapes
+        # flat codes padded to a geometric bucket (powers of two and
+        # 1.5x-steps: <=33% padding, ~2x the compile shapes of pure pow2),
+        # then 6-bit packed (4 codes -> 3 bytes); offsets padded to a fixed
+        # row count -> few distinct compile shapes, minimal H2D bytes
         total = int(sub.codes.shape[0])
         fsize = 1 << 14
         while fsize < total:
             fsize <<= 1
+        if fsize > (1 << 14) and (fsize >> 1) + (fsize >> 2) >= total:
+            fsize = (fsize >> 1) + (fsize >> 2)
         flat = np.full(fsize, alphabet.INVALID_CODE, dtype=np.uint8)
         flat[:total] = sub.codes
         offs = np.full(rows + 1, total, dtype=np.int32)
         offs[:len(sub) + 1] = sub.offsets
         f, arrays = self._full_device_fn(L)
-        out = f(*arrays, jnp.asarray(flat), jnp.asarray(offs))
+        out = f(*arrays, jnp.asarray(kmer_pack.pack_u6_host(flat)),
+                jnp.asarray(offs))
         return out
 
     def _function_meta(self):

@@ -10,12 +10,13 @@ position order and a flush either clears the buffer or retains the last
 two hits, so each buffer is fully described by (first_pos, last_pos).
 The scan emits one record per flush: (function, pos_start, pos_end).
 
-Pass B — per-record statistics WITHOUT gathers: membership is a broadcast
-mask `found & pos in [ps, pe] & func == fI` over the original (B, L)
-arrays, then a last-axis sort per record for the exact median and MAD of
-matching hits' stored mean lengths (ref: HitSet::process,
-call_functions.tcc:35-103), then the min-hits and length-window emission
-test.
+Pass B — per-record statistics WITHOUT gathers or sorts: membership is a
+broadcast mask `found & pos in [ps, pe] & func == fI` over the original
+(B, L) arrays; the exact median and MAD of matching hits' stored mean
+lengths (ref: HitSet::process, call_functions.tcc:35-103) come from
+counting binary search over the 16/17-bit integer value range (rank
+selection by masked reductions — ~10x cheaper than last-axis sorts on
+TPU), then the min-hits and length-window emission test.
 
 Records per sequence are capped at REC_CAP; sequences that overflow are
 flagged and re-run on the host path (exact, rare).
@@ -33,7 +34,6 @@ import jax
 import jax.numpy as jnp
 
 REC_CAP = 4          # record slots per sequence (overflow -> host fallback)
-I32_INF = 0x7FFFFFF0  # plain ints: module-level jnp scalars would init the backend at import
 UNDEF = 0xFFFF
 UNROLL = 16          # positions per scan step (amortizes TPU loop overhead)
 
@@ -132,23 +132,26 @@ def device_automaton(found, func, mean, seqlen,
     tail_valid = n >= min_hits
     n_recs = nrec + tail_valid.astype(jnp.int32)
 
-    # ---- collect records: one last-axis sort brings valid records (in
-    # position order) to the front; slots beyond REC_CAP are dropped ------
+    # ---- collect records: cumsum one-hot selection (a 4-payload sort of
+    # the (B, 2L+1) streams costs ~10x more than these masked reductions
+    # on TPU; slots beyond REC_CAP are dropped) ----------------------------
     def cat(a1, a2, tail_field):
         # (B, 2L+1): r1/r2 streams interleaved + the tail record
         m = jnp.stack([a1.T, a2.T], axis=2).reshape(B, 2 * L)
         return jnp.concatenate([m, tail_field[:, None]], axis=1)
 
     v = cat(r1v, r2v, tail_valid)
-    key = jnp.where(v, jax.lax.broadcasted_iota(jnp.int32, v.shape, 1),
-                    I32_INF)
-    key, rec_fI, rec_ps, rec_pe = jax.lax.sort(
-        (key, cat(r1f, r2f, cur), cat(r1ps, r2ps, first),
-         cat(r1pe, r2pe, lpos)), num_keys=1)
-    rec_valid = key[:, :REC_CAP] != I32_INF
-    rec_fI = rec_fI[:, :REC_CAP]
-    rec_ps = rec_ps[:, :REC_CAP]
-    rec_pe = rec_pe[:, :REC_CAP]
+    c = jnp.cumsum(v.astype(jnp.int32), axis=1)
+    slot1 = jax.lax.broadcasted_iota(jnp.int32, (1, REC_CAP, 1), 1) + 1
+    oh = (v[:, None, :] & (c[:, None, :] == slot1)).astype(jnp.int32)
+    rec_valid = oh.any(axis=2)
+
+    def pick(field):
+        return (field[:, None, :] * oh).sum(axis=2)
+
+    rec_fI = pick(cat(r1f, r2f, cur))
+    rec_ps = pick(cat(r1ps, r2ps, first))
+    rec_pe = pick(cat(r1pe, r2pe, lpos))
 
     # ---- pass B: per-record statistics via broadcast masks --------------
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, L), 2)
@@ -159,21 +162,35 @@ def device_automaton(found, func, mean, seqlen,
     cnt = member.sum(axis=2).astype(jnp.int32)
     msum = jnp.where(member, mean[:, None, :], 0).sum(axis=2)
 
-    vals = jnp.sort(jnp.where(member, mean[:, None, :], I32_INF), axis=2)
-    safe_cnt = jnp.maximum(cnt, 1)
-    lo_i = (safe_cnt - 1) // 2
-    hi_i = safe_cnt // 2
-    med_lo = jnp.take_along_axis(vals, lo_i[:, :, None], axis=2)[:, :, 0]
-    med_hi = jnp.take_along_axis(vals, hi_i[:, :, None], axis=2)[:, :, 0]
-    median = (med_lo + med_hi).astype(jnp.float32) / 2.0
+    # Exact rank selection by counting binary search over the value range
+    # (means and deviations are 16/17-bit integers) — each rank costs
+    # `bits` masked reductions, far cheaper than a (B, REC_CAP, L) sort.
+    def kth_smallest(vals3, ktarget, bits):
+        # smallest x with |{member vals <= x}| >= ktarget (garbage, later
+        # masked, where ktarget exceeds the member count)
+        lo = jnp.zeros_like(ktarget)
+        hi = jnp.full_like(ktarget, (1 << bits) - 1)
+        for _ in range(bits):
+            mid = (lo + hi) >> 1
+            n_le = (member & (vals3 <= mid[:, :, None])).sum(axis=2)
+            ge = n_le >= ktarget
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        return hi
 
-    dev = jnp.sort(jnp.where(
-        member,
-        jnp.abs(mean[:, None, :].astype(jnp.float32) - median[:, :, None]),
-        jnp.float32(3e38)), axis=2)
-    mad_lo = jnp.take_along_axis(dev, lo_i[:, :, None], axis=2)[:, :, 0]
-    mad_hi = jnp.take_along_axis(dev, hi_i[:, :, None], axis=2)[:, :, 0]
-    mad = (mad_lo + mad_hi) / 2.0
+    safe_cnt = jnp.maximum(cnt, 1)
+    lo_k = (safe_cnt - 1) // 2 + 1
+    hi_k = safe_cnt // 2 + 1
+    mean3 = jnp.broadcast_to(mean[:, None, :], member.shape)
+    med_lo = kth_smallest(mean3, lo_k, 16)
+    med_hi = kth_smallest(mean3, hi_k, 16)
+    med2 = med_lo + med_hi  # exact 2*median, int32
+    median = med2.astype(jnp.float32) / 2.0
+
+    dev2 = jnp.abs(2 * mean3 - med2[:, :, None])  # exact 2*|mean - median|
+    d2_lo = kth_smallest(dev2, lo_k, 18)
+    d2_hi = kth_smallest(dev2, hi_k, 18)
+    mad = (d2_lo + d2_hi).astype(jnp.float32) / 4.0
     mad = jnp.where(mad == 0.0, jnp.float32(mad_floor), mad)
 
     mean_len = msum.astype(jnp.float32) / safe_cnt.astype(jnp.float32)

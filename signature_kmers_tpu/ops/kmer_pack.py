@@ -139,6 +139,29 @@ def pad_batch(batch, max_len: int | None = None, multiple: int = 128):
     return codes, out_lens
 
 
+def pack_u6_host(codes: np.ndarray) -> np.ndarray:
+    """Host: (N,) uint8 6-bit codes (N % 4 == 0) -> (3N/4,) uint8.
+
+    Four 6-bit codes per 3 transferred bytes — cuts the host->device
+    residue transfer by 25% (the link, not compute, bounds the caller)."""
+    q = codes.reshape(-1, 4).astype(np.uint32)
+    w = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
+    out = np.empty((q.shape[0], 3), dtype=np.uint8)
+    out[:, 0] = w >> 16
+    out[:, 1] = (w >> 8) & 0xFF
+    out[:, 2] = w & 0xFF
+    return out.reshape(-1)
+
+
+def unpack_u6(packed):
+    """Device inverse of pack_u6_host: (3M,) uint8 -> (4M,) uint8 codes."""
+    b = packed.reshape(-1, 3).astype(jnp.uint32)
+    w = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+    c = jnp.stack([(w >> 18) & 63, (w >> 12) & 63, (w >> 6) & 63, w & 63],
+                  axis=1)
+    return c.reshape(-1).astype(jnp.uint8)
+
+
 def expand_flat(flat_codes, offsets, L: int):
     """Device-side padding: flat concatenated codes + offsets -> (B, L)
     matrix padded with INVALID_CODE, plus lengths.  Keeps the host->device
