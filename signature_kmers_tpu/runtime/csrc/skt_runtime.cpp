@@ -483,4 +483,63 @@ long skt_cpu_baseline(const unsigned char *codes, const int64_t *seq_off,
     return total_calls;
 }
 
+// ---------------------------------------------------------------------------
+// Native bucketed-cuckoo table build
+//
+// The reference builds its lookup structure natively too (CMPH BDZ,
+// perfect_hash.h:11-69).  Classic cuckoo insertion with bounded kicks:
+// try the 4 slots of bucket h1, then of h2, else evict a rotating victim
+// and re-insert it.  ~seconds for 20M keys single-thread vs ~1 min for
+// the vectorized-numpy fallback in table/bucket_table.py.
+//
+// khi/klo/fv0/fv1/fv2: n_buckets*4 output arrays (initialized here).
+// Returns 0 on success, -1 when an insertion exceeds max_kicks (caller
+// retries with a different salt / larger table).
+
+long skt_build_cuckoo(const uint32_t *hi, const uint32_t *lo,
+                      const uint32_t *v0, const uint32_t *v1,
+                      const uint32_t *v2,
+                      long n, long n_buckets, uint32_t salt, int max_kicks,
+                      uint32_t *khi, uint32_t *klo,
+                      uint32_t *fv0, uint32_t *fv1, uint32_t *fv2) {
+    const uint32_t mask = (uint32_t)(n_buckets - 1);
+    const long slots = n_buckets * 4;
+    for (long i = 0; i < slots; i++) {
+        khi[i] = 0xFFFFFFFFu; klo[i] = 0xFFFFFFFFu;
+        fv0[i] = 0; fv1[i] = 0; fv2[i] = 0;
+    }
+    std::vector<uint8_t> evict_ptr(n_buckets, 0);
+    for (long i = 0; i < n; i++) {
+        uint32_t chi = hi[i], clo = lo[i];
+        uint32_t c0 = v0[i], c1 = v1[i], c2 = v2[i];
+        int kicks = 0;
+        for (;;) {
+            uint32_t b1 = fmix32(chi ^ fmix32(clo ^ salt)) & mask;
+            uint32_t b2 = fmix32(clo ^ fmix32(chi ^ (salt + 0x9E3779B9u))) & mask;
+            long base1 = (long)b1 * 4, base2 = (long)b2 * 4;
+            long placed = -1;
+            for (int s = 0; s < 4; s++)
+                if (khi[base1 + s] == 0xFFFFFFFFu) { placed = base1 + s; break; }
+            if (placed < 0)
+                for (int s = 0; s < 4; s++)
+                    if (khi[base2 + s] == 0xFFFFFFFFu) { placed = base2 + s; break; }
+            if (placed >= 0) {
+                khi[placed] = chi; klo[placed] = clo;
+                fv0[placed] = c0; fv1[placed] = c1; fv2[placed] = c2;
+                break;
+            }
+            if (++kicks > max_kicks) return -1;
+            // evict a rotating victim, alternating between the choices
+            uint32_t vb = (kicks & 1) ? b1 : b2;
+            long vs = (long)vb * 4 + (evict_ptr[vb]++ & 3);
+            uint32_t thi = khi[vs], tlo = klo[vs];
+            uint32_t t0 = fv0[vs], t1 = fv1[vs], t2 = fv2[vs];
+            khi[vs] = chi; klo[vs] = clo;
+            fv0[vs] = c0; fv1[vs] = c1; fv2[vs] = c2;
+            chi = thi; clo = tlo; c0 = t0; c1 = t1; c2 = t2;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

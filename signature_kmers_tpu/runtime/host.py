@@ -72,6 +72,14 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.skt_build_cuckoo.restype = ctypes.c_long
+        lib.skt_build_cuckoo.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.skt_cpu_baseline.restype = ctypes.c_long
         lib.skt_cpu_baseline.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
@@ -147,6 +155,32 @@ def cpu_baseline_call(codes, seq_off, table, min_hits: int, max_gap: int,
         _ptr(codes), _ptr(seq_off), seq_off.shape[0] - 1,
         _ptr(packed), table.n_buckets, np.uint32(table.salt),
         min_hits, max_gap, k, mad_floor, len_window)
+
+
+def build_cuckoo(hi, lo, v0, v1, v2, n_buckets: int, salt: int,
+                 max_kicks: int = 500):
+    """Native cuckoo placement.  Returns (khi, klo, fv0, fv1, fv2) as
+    (n_buckets, 4) arrays, or None when placement failed (retry with a
+    new salt / bigger table)."""
+    lib = _load()
+    hi = np.ascontiguousarray(hi, dtype=np.uint32)
+    lo = np.ascontiguousarray(lo, dtype=np.uint32)
+    v0 = np.ascontiguousarray(v0, dtype=np.uint32)
+    v1 = np.ascontiguousarray(v1, dtype=np.uint32)
+    v2 = np.ascontiguousarray(v2, dtype=np.uint32)
+    shape = (n_buckets, 4)
+    khi = np.empty(shape, np.uint32)
+    klo = np.empty(shape, np.uint32)
+    fv0 = np.empty(shape, np.uint32)
+    fv1 = np.empty(shape, np.uint32)
+    fv2 = np.empty(shape, np.uint32)
+    rc = lib.skt_build_cuckoo(
+        _ptr(hi), _ptr(lo), _ptr(v0), _ptr(v1), _ptr(v2),
+        hi.shape[0], n_buckets, np.uint32(salt), max_kicks,
+        _ptr(khi), _ptr(klo), _ptr(fv0), _ptr(fv1), _ptr(fv2))
+    if rc != 0:
+        return None
+    return khi, klo, fv0, fv1, fv2
 
 
 def run_best_call(call_fI, call_count, call_off, is_multipart, lex_rank,

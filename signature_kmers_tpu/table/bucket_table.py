@@ -84,10 +84,23 @@ class BucketKmerTable:
         # bucket load target ~0.7 of slot capacity
         want_slots = max(config.min_size, int(n / 0.7) + SLOTS)
         n_buckets = hashing.next_pow2(-(-want_slots // SLOTS))
+
+        # native single-pass insertion when the toolchain is present
+        # (same layout/hashes; ~10x the numpy fallback's speed)
+        try:
+            from ..runtime import host as _host
+            native = _host.available()
+        except Exception:
+            native = False
+
         for attempt in range(16):
             salt = 0x5EED0000 + attempt * 0x01000193
-            out = BucketKmerTable._try_build(hi, lo, v0, v1, v2,
-                                             n_buckets, salt)
+            if native:
+                res = _host.build_cuckoo(hi, lo, v0, v1, v2, n_buckets, salt)
+                out = None if res is None else tuple(res)
+            else:
+                out = BucketKmerTable._try_build(hi, lo, v0, v1, v2,
+                                                 n_buckets, salt)
             if out is not None:
                 return BucketKmerTable._finish(*out, salt, n)
             if attempt >= 3:

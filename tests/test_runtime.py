@@ -129,3 +129,50 @@ class TestEndToEndNative:
         for a, b2 in zip(native_res, python_res):
             assert a.best == b2.best
             assert len(a.calls) == len(b2.calls)
+
+
+class TestNativeCuckooBuild:
+    def test_native_matches_numpy_semantics(self):
+        """Native and numpy builds may place keys in different slots, but
+        every lookup (hit or miss) must behave identically."""
+        import numpy as np
+
+        from signature_kmers_tpu.runtime import host
+        from signature_kmers_tpu.table.bucket_table import BucketKmerTable
+
+        if not host.available():
+            import pytest
+
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(11)
+        n = 50_000
+        keys = np.unique(rng.integers(0, 1 << 48, n, dtype=np.uint64))
+        hi = (keys >> np.uint64(24)).astype(np.uint32)
+        lo = (keys & np.uint64(0xFFFFFF)).astype(np.uint32)
+        n = hi.shape[0]
+        v0 = rng.integers(0, 2**32, n, dtype=np.uint32)
+        v1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+        v2 = rng.integers(0, 2**32, n, dtype=np.uint32)
+
+        t_native = BucketKmerTable.build(hi, lo, v0, v1, v2)
+        out = BucketKmerTable._try_build(hi, lo, v0, v1, v2,
+                                         t_native.n_buckets, t_native.salt)
+        assert out is not None
+        t_numpy = BucketKmerTable._finish(*out, t_native.salt, n)
+
+        # hits: identical values from both tables
+        qi = rng.integers(0, n, 20_000)
+        for t in (t_native, t_numpy):
+            f, r0, r1, r2 = t.lookup_np(hi[qi], lo[qi])
+            assert f.all()
+            assert (r0 == v0[qi]).all()
+            assert (r1 == v1[qi]).all()
+            assert (r2 == v2[qi]).all()
+        # misses: identical found-mask
+        mhi = hi[qi] ^ np.uint32(0x1)
+        fa, *_ = t_native.lookup_np(mhi, lo[qi])
+        fb, *_ = t_numpy.lookup_np(mhi, lo[qi])
+        assert (fa == fb).all()
+        # occupied() returns the same key/value multiset
+        for a, b in zip(t_native.occupied(), t_numpy.occupied()):
+            assert (a == b).all()
