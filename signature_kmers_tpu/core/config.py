@@ -58,6 +58,10 @@ class TableConfig:
     load_factor: float = 0.6            # open addressing fill target
     min_size: int = 1024                # smallest table (power of two)
     max_probes_cap: int = 512           # safety bound for degenerate builds
+    # slots per cuckoo bucket: 2 -> 24B probe rows (measured ~1.5x cheaper
+    # per gather than 4-slot/48B rows on TPU v5e; see docs/PERF.md).
+    # (2 choices x 2 slots)-cuckoo supports load ~0.89 > the 0.7 target.
+    slots: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

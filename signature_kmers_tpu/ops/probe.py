@@ -86,10 +86,10 @@ def unpack_values_jnp(r0, r1, r2):
 def probe_bucket(packed, qhi, qlo, salt: int, aux=None):
     """Probe a BucketKmerTable (see table/bucket_table.py).
 
-    packed: (n_buckets, 12) uint32 rows [khi*4, klo*4, fm*4].
+    packed: (n_buckets, 3*slots) uint32 rows [khi*s, klo*s, fm*s].
     qhi/qlo: uint32 queries, any shape.
-    aux: optional (n_buckets, 12) rows [v0*4, v1*4, v2*4]; when given the
-    full StoredKmerData words are gathered for hits.
+    aux: optional (n_buckets, 3*slots) rows [v0*s, v1*s, v2*s]; when given
+    the full StoredKmerData words are gathered for hits.
 
     Returns (found, fm) or (found, fm, r0, r1, r2); fm = func<<16 | mean.
     Call under jit; `salt` must be static (close over it).
@@ -97,17 +97,18 @@ def probe_bucket(packed, qhi, qlo, salt: int, aux=None):
     from ..table.bucket_table import bucket_hashes
 
     nb = packed.shape[0]
+    s = packed.shape[1] // 3
     qhi = qhi.astype(jnp.uint32)
     qlo = qlo.astype(jnp.uint32)
     b1, b2 = bucket_hashes(qhi, qlo, salt, nb, jnp)
 
     def match(b):
-        row = packed[b]  # (..., 12)
-        m = ((row[..., 0:4] == qhi[..., None])
-             & (row[..., 4:8] == qlo[..., None]))
+        row = packed[b]  # (..., 3*slots)
+        m = ((row[..., 0:s] == qhi[..., None])
+             & (row[..., s:2 * s] == qlo[..., None]))
         f = m.any(axis=-1)
         # at most one slot matches; masked sum selects it exactly
-        fm = jnp.sum(row[..., 8:12] * m.astype(jnp.uint32), axis=-1)
+        fm = jnp.sum(row[..., 2 * s:3 * s] * m.astype(jnp.uint32), axis=-1)
         return f, fm, m
 
     f1, fm1, m1 = match(b1)
@@ -120,10 +121,10 @@ def probe_bucket(packed, qhi, qlo, salt: int, aux=None):
     # full-value path: one more row gather at the winning bucket
     bwin = jnp.where(f1, b1, b2)
     mwin = jnp.where(f1[..., None], m1, m2).astype(jnp.uint32)
-    arow = aux[bwin]  # (..., 12)
-    r0 = jnp.sum(arow[..., 0:4] * mwin, axis=-1)
-    r1 = jnp.sum(arow[..., 4:8] * mwin, axis=-1)
-    r2 = jnp.sum(arow[..., 8:12] * mwin, axis=-1)
+    arow = aux[bwin]  # (..., 3*slots)
+    r0 = jnp.sum(arow[..., 0:s] * mwin, axis=-1)
+    r1 = jnp.sum(arow[..., s:2 * s] * mwin, axis=-1)
+    r2 = jnp.sum(arow[..., 2 * s:3 * s] * mwin, axis=-1)
     return found, fm, r0, r1, r2
 
 

@@ -22,18 +22,18 @@ from ..core import alphabet
 from ..core.config import CallConfig, DeviceConfig
 from ..io import fasta as fasta_io
 from ..models.function_caller import FunctionCaller
-from ..table.bucket_table import SLOTS, BucketKmerTable
+from ..table.bucket_table import BucketKmerTable
 from . import mesh as mesh_mod
 
 
 class ShardedBucketTable:
-    """Per-shard BucketKmerTables stacked (tp, n_buckets, 12).
+    """Per-shard BucketKmerTables stacked (tp, n_buckets, 3*slots).
 
     Each shard carries its own cuckoo salt (builds converge
     independently); probes read the local shard's salt."""
 
     def __init__(self, packed, salts, n_items: int):
-        self.packed = packed  # (tp, nb, 12)
+        self.packed = packed  # (tp, nb, 3*slots)
         self.salts = salts    # (tp,) uint32
         self.n_items = n_items
 
@@ -63,6 +63,7 @@ class ShardedBucketTable:
         counts = np.bincount(owner, minlength=n_shards)
         from ..ops import hashing as hashing_mod
 
+        SLOTS = TableConfig().slots
         nb = max(TableConfig().min_size // SLOTS,
                  hashing_mod.next_pow2(-(-int(counts.max()) // 3)))
         while True:
@@ -119,7 +120,7 @@ class ParallelFunctionCaller(FunctionCaller):
             rows = self.device_config.call_batch  # rows per dp shard
 
             def shard_fn(tpacked, tsalt, flat_l, off_l):
-                # tpacked: (1, nb, 12) local tp shard; tsalt: (1,)
+                # tpacked: (1, nb, 3*slots) local tp shard; tsalt: (1,)
                 # flat_l: (1, F); off_l: (1, rows+1)
                 codes, lengths = kmer_pack.expand_flat(
                     flat_l[0], off_l[0], L)

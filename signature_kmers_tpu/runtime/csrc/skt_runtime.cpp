@@ -373,8 +373,10 @@ static inline uint32_t hash_kmer_u32(uint32_t hi, uint32_t lo) {
 long skt_cpu_baseline(const unsigned char *codes, const int64_t *seq_off,
                       long n_seqs,
                       const uint32_t *packed, long n_buckets, uint32_t salt,
+                      int slots_per_bucket,
                       int min_hits, int max_gap, int kmer_size,
                       double mad_floor, double len_window) {
+    const int SL = slots_per_bucket;
     const uint32_t mask = (uint32_t)(n_buckets - 1);
     const int K = kmer_size;
     long total_calls = 0;
@@ -453,10 +455,10 @@ long skt_cpu_baseline(const unsigned char *codes, const int64_t *seq_off,
             uint32_t fm = 0;
             bool hitk = false;
             for (int bi = 0; bi < 2 && !hitk; bi++) {
-                const uint32_t *row = packed + (size_t)(bi ? b2 : b1) * 12;
-                for (int sl = 0; sl < 4; sl++) {
-                    if (row[sl] == hi && row[4 + sl] == lo) {
-                        fm = row[8 + sl];
+                const uint32_t *row = packed + (size_t)(bi ? b2 : b1) * (3 * SL);
+                for (int sl = 0; sl < SL; sl++) {
+                    if (row[sl] == hi && row[SL + sl] == lo) {
+                        fm = row[2 * SL + sl];
                         hitk = true;
                         break;
                     }
@@ -500,15 +502,20 @@ long skt_build_cuckoo(const uint32_t *hi, const uint32_t *lo,
                       const uint32_t *v0, const uint32_t *v1,
                       const uint32_t *v2,
                       long n, long n_buckets, uint32_t salt, int max_kicks,
+                      int slots_per_bucket,
                       uint32_t *khi, uint32_t *klo,
                       uint32_t *fv0, uint32_t *fv1, uint32_t *fv2) {
     const uint32_t mask = (uint32_t)(n_buckets - 1);
-    const long slots = n_buckets * 4;
+    const int SL = slots_per_bucket;
+    const long slots = n_buckets * SL;
     for (long i = 0; i < slots; i++) {
         khi[i] = 0xFFFFFFFFu; klo[i] = 0xFFFFFFFFu;
         fv0[i] = 0; fv1[i] = 0; fv2[i] = 0;
     }
-    std::vector<uint8_t> evict_ptr(n_buckets, 0);
+    // random-walk eviction: deterministic victim rotation can enter exact
+    // cycles (observed at 2 slots/bucket even at load 0.5); a seeded
+    // xorshift walk breaks them while keeping builds reproducible
+    uint32_t rngs = salt | 1u;
     for (long i = 0; i < n; i++) {
         uint32_t chi = hi[i], clo = lo[i];
         uint32_t c0 = v0[i], c1 = v1[i], c2 = v2[i];
@@ -516,12 +523,12 @@ long skt_build_cuckoo(const uint32_t *hi, const uint32_t *lo,
         for (;;) {
             uint32_t b1 = fmix32(chi ^ fmix32(clo ^ salt)) & mask;
             uint32_t b2 = fmix32(clo ^ fmix32(chi ^ (salt + 0x9E3779B9u))) & mask;
-            long base1 = (long)b1 * 4, base2 = (long)b2 * 4;
+            long base1 = (long)b1 * SL, base2 = (long)b2 * SL;
             long placed = -1;
-            for (int s = 0; s < 4; s++)
+            for (int s = 0; s < SL; s++)
                 if (khi[base1 + s] == 0xFFFFFFFFu) { placed = base1 + s; break; }
             if (placed < 0)
-                for (int s = 0; s < 4; s++)
+                for (int s = 0; s < SL; s++)
                     if (khi[base2 + s] == 0xFFFFFFFFu) { placed = base2 + s; break; }
             if (placed >= 0) {
                 khi[placed] = chi; klo[placed] = clo;
@@ -529,9 +536,9 @@ long skt_build_cuckoo(const uint32_t *hi, const uint32_t *lo,
                 break;
             }
             if (++kicks > max_kicks) return -1;
-            // evict a rotating victim, alternating between the choices
-            uint32_t vb = (kicks & 1) ? b1 : b2;
-            long vs = (long)vb * 4 + (evict_ptr[vb]++ & 3);
+            rngs ^= rngs << 13; rngs ^= rngs >> 17; rngs ^= rngs << 5;
+            uint32_t vb = (rngs & 1) ? b1 : b2;
+            long vs = (long)vb * SL + (long)((rngs >> 1) % (uint32_t)SL);
             uint32_t thi = khi[vs], tlo = klo[vs];
             uint32_t t0 = fv0[vs], t1 = fv1[vs], t2 = fv2[vs];
             khi[vs] = chi; klo[vs] = clo;

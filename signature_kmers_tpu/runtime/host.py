@@ -77,6 +77,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_long, ctypes.c_long, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
@@ -84,6 +85,7 @@ def _load():
         lib.skt_cpu_baseline.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_long, ctypes.c_uint32,
+            ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double,
         ]
@@ -153,22 +155,22 @@ def cpu_baseline_call(codes, seq_off, table, min_hits: int, max_gap: int,
     packed = np.ascontiguousarray(table.packed, dtype=np.uint32)
     return lib.skt_cpu_baseline(
         _ptr(codes), _ptr(seq_off), seq_off.shape[0] - 1,
-        _ptr(packed), table.n_buckets, np.uint32(table.salt),
+        _ptr(packed), table.n_buckets, np.uint32(table.salt), table.slots,
         min_hits, max_gap, k, mad_floor, len_window)
 
 
 def build_cuckoo(hi, lo, v0, v1, v2, n_buckets: int, salt: int,
-                 max_kicks: int = 500):
+                 max_kicks: int = 500, slots: int = 2):
     """Native cuckoo placement.  Returns (khi, klo, fv0, fv1, fv2) as
-    (n_buckets, 4) arrays, or None when placement failed (retry with a
-    new salt / bigger table)."""
+    (n_buckets, slots) arrays, or None when placement failed (retry with
+    a new salt / bigger table)."""
     lib = _load()
     hi = np.ascontiguousarray(hi, dtype=np.uint32)
     lo = np.ascontiguousarray(lo, dtype=np.uint32)
     v0 = np.ascontiguousarray(v0, dtype=np.uint32)
     v1 = np.ascontiguousarray(v1, dtype=np.uint32)
     v2 = np.ascontiguousarray(v2, dtype=np.uint32)
-    shape = (n_buckets, 4)
+    shape = (n_buckets, slots)
     khi = np.empty(shape, np.uint32)
     klo = np.empty(shape, np.uint32)
     fv0 = np.empty(shape, np.uint32)
@@ -176,7 +178,7 @@ def build_cuckoo(hi, lo, v0, v1, v2, n_buckets: int, salt: int,
     fv2 = np.empty(shape, np.uint32)
     rc = lib.skt_build_cuckoo(
         _ptr(hi), _ptr(lo), _ptr(v0), _ptr(v1), _ptr(v2),
-        hi.shape[0], n_buckets, np.uint32(salt), max_kicks,
+        hi.shape[0], n_buckets, np.uint32(salt), max_kicks, slots,
         _ptr(khi), _ptr(klo), _ptr(fv0), _ptr(fv1), _ptr(fv2))
     if rc != 0:
         return None

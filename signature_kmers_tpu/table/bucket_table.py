@@ -1,13 +1,17 @@
 """Production signature table: bucketed cuckoo hash, 2 row-gathers/probe.
 
-Motivation (measured on TPU v5e): XLA gathers cost ~4-8 ns per ROW nearly
-independent of row width up to ~96B, so linear probing's per-round gathers
-are the wrong shape — a probe should touch a fixed number of wide rows.
+Motivation (measured on TPU v5e): XLA row-gather cost is transaction-
+quantized, not element-proportional — ~12ns/row at 16B, ~15ns at 24-32B,
+~22ns at 36-64B, ~32ns at 96B on a v5e against multi-hundred-MB tables —
+so linear probing's per-element gathers are the wrong shape; a probe
+should touch a fixed small number of narrow rows.
 
-Layout: power-of-two bucket count, 4 slots per bucket, two bucket choices
-per key (cuckoo).  A probe is exactly:
+Layout: power-of-two bucket count, ``slots`` keys per bucket (default 2:
+24-byte probe rows, the measured cost sweet spot), two bucket choices per
+key (cuckoo; (2 choices x 2 slots) supports load ~0.89).  A probe is
+exactly:
 
-    row1 = packed[h1(key)]   # 48B: 4x key_hi, 4x key_lo, 4x fm
+    row1 = packed[h1(key)]   # 3*slots words: khi*s, klo*s, fm*s
     row2 = packed[h2(key)]
 
 where fm = function_index<<16 | mean — the only stored fields the calling
@@ -34,7 +38,6 @@ from ..core.config import TableConfig
 from ..ops import hashing
 
 EMPTY = np.uint32(0xFFFFFFFF)
-SLOTS = 4  # slots per bucket
 
 
 def bucket_hashes(hi, lo, salt: int, n_buckets: int, xp=np):
@@ -52,8 +55,8 @@ def bucket_hashes(hi, lo, salt: int, n_buckets: int, xp=np):
 class BucketKmerTable:
     """Host image of the bucketed table."""
 
-    packed: np.ndarray   # (n_buckets, 12) uint32: khi*4, klo*4, fm*4
-    aux: np.ndarray      # (n_buckets, 12) uint32: v0*4, v1*4, v2*4
+    packed: np.ndarray   # (n_buckets, 3*slots) uint32: khi*s, klo*s, fm*s
+    aux: np.ndarray      # (n_buckets, 3*slots) uint32: v0*s, v1*s, v2*s
     salt: int
     n_items: int
 
@@ -62,8 +65,12 @@ class BucketKmerTable:
         return int(self.packed.shape[0])
 
     @property
+    def slots(self) -> int:
+        return int(self.packed.shape[1]) // 3
+
+    @property
     def size(self) -> int:  # slot capacity
-        return self.n_buckets * SLOTS
+        return self.n_buckets * self.slots
 
     # -- construction ------------------------------------------------------
 
@@ -82,8 +89,9 @@ class BucketKmerTable:
                 raise ValueError(
                     "duplicate k-mer keys in table build input")
         # bucket load target ~0.7 of slot capacity
-        want_slots = max(config.min_size, int(n / 0.7) + SLOTS)
-        n_buckets = hashing.next_pow2(-(-want_slots // SLOTS))
+        slots = config.slots
+        want_slots = max(config.min_size, int(n / 0.7) + slots)
+        n_buckets = hashing.next_pow2(-(-want_slots // slots))
 
         # native single-pass insertion when the toolchain is present
         # (same layout/hashes; ~10x the numpy fallback's speed)
@@ -96,11 +104,12 @@ class BucketKmerTable:
         for attempt in range(16):
             salt = 0x5EED0000 + attempt * 0x01000193
             if native:
-                res = _host.build_cuckoo(hi, lo, v0, v1, v2, n_buckets, salt)
+                res = _host.build_cuckoo(hi, lo, v0, v1, v2, n_buckets, salt,
+                                         slots=slots)
                 out = None if res is None else tuple(res)
             else:
                 out = BucketKmerTable._try_build(hi, lo, v0, v1, v2,
-                                                 n_buckets, salt)
+                                                 n_buckets, salt, slots)
             if out is not None:
                 return BucketKmerTable._finish(*out, salt, n)
             if attempt >= 3:
@@ -108,8 +117,9 @@ class BucketKmerTable:
         raise RuntimeError("cuckoo build failed to converge")
 
     @staticmethod
-    def _try_build(hi, lo, v0, v1, v2, n_buckets, salt):
+    def _try_build(hi, lo, v0, v1, v2, n_buckets, salt, slots=2):
         n = hi.shape[0]
+        SLOTS = slots
         khi = np.full((n_buckets, SLOTS), EMPTY, dtype=np.uint32)
         klo = np.full((n_buckets, SLOTS), EMPTY, dtype=np.uint32)
         fv0 = np.zeros((n_buckets, SLOTS), dtype=np.uint32)
@@ -215,11 +225,13 @@ class BucketKmerTable:
         qh = qhi.reshape(-1)
         ql = qlo.reshape(-1)
         b1, b2 = bucket_hashes(qh, ql, self.salt, self.n_buckets)
+        SLOTS = self.slots
         found = np.zeros(qh.shape, dtype=bool)
         slot_flat = np.zeros(qh.shape, dtype=np.int64)
         for b in (b1, b2):
             row = self.packed[b]
-            m = (row[:, 0:4] == qh[:, None]) & (row[:, 4:8] == ql[:, None])
+            m = ((row[:, 0:SLOTS] == qh[:, None])
+                 & (row[:, SLOTS:2 * SLOTS] == ql[:, None]))
             f = m.any(axis=1)
             s = m.argmax(axis=1)
             new = f & ~found
@@ -241,7 +253,8 @@ class BucketKmerTable:
         path = Path(path)
         np.savez(path.with_suffix(".npz"), packed=self.packed, aux=self.aux)
         meta = {"n_items": self.n_items, "salt": self.salt,
-                "n_buckets": self.n_buckets, "format": "skt-bucket-v1"}
+                "n_buckets": self.n_buckets, "slots": self.slots,
+                "format": "skt-bucket-v1"}
         path.with_suffix(".json").write_text(json.dumps(meta))
 
     @staticmethod
@@ -274,8 +287,9 @@ class BucketKmerTable:
 
     def occupied(self):
         """(hi, lo, v0, v1, v2) of occupied slots, sorted by key."""
-        khi = self.packed[:, 0:4].reshape(-1)
-        klo = self.packed[:, 4:8].reshape(-1)
+        SLOTS = self.slots
+        khi = self.packed[:, 0:SLOTS].reshape(-1)
+        klo = self.packed[:, SLOTS:2 * SLOTS].reshape(-1)
         a = self.aux.reshape(-1, 3, SLOTS)
         occ = khi != EMPTY
         hi = khi[occ]
