@@ -76,9 +76,21 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
     n = hi.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    # sort 1: by (kmer, function, protein_length)
-    hi1, lo1, f1, p1, o1, s1 = lax.sort(
-        (hi, lo, func, plen, off, sid), num_keys=4)
+    # sort 1: by (kmer, function, protein_length).  The 48-bit key, the
+    # 16-bit function index and the length are packed into two uint32 sort
+    # keys — sort cost on TPU grows with both comparator width and payload
+    # count, and (hi, lo, func, plen, off, sid) as a 4-key/2-payload sort
+    # measures ~1.6x slower than this packed 2-key/2-payload form.
+    # k1 = hi(24) | lo_hi(8); k2 = lo_lo(16) | func(16); k3 = plen.
+    k1 = (hi << jnp.uint32(8)) | (lo >> jnp.uint32(16))
+    k2 = ((lo & jnp.uint32(0xFFFF)) << jnp.uint32(16)) \
+        | func.astype(jnp.uint32)
+    k1s, k2s, p1, o1, s1 = lax.sort(
+        (k1, k2, plen, off, sid), num_keys=3)
+    hi1 = k1s >> jnp.uint32(8)
+    lo1 = ((k1s & jnp.uint32(0xFF)) << jnp.uint32(16)) \
+        | (k2s >> jnp.uint32(16))
+    f1 = (k2s & jnp.uint32(0xFFFF)).astype(jnp.int32)
 
     def prev(a, fill):
         return jnp.concatenate([jnp.full((1,), fill, a.dtype), a[:-1]])
@@ -137,8 +149,13 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
     med_hi = p1[jnp.clip(start_best + best_count // 2, 0, n - 1)]
 
     # sort 2: by (kmer, offset) for avg_from_end = upper median of ALL
-    # offsets (signature_build.tcc:281-282)
-    _hi2, _lo2, o2 = lax.sort((hi, lo, off), num_keys=3)
+    # offsets (signature_build.tcc:281-282).  offsets are 16-bit by
+    # construction (masked in extraction), so the whole sort packs into
+    # two uint32 key words with no payload.
+    q2 = ((lo & jnp.uint32(0xFFFF)) << jnp.uint32(16)) \
+        | off.astype(jnp.uint32)
+    _q1s, q2s = lax.sort((k1, q2), num_keys=2)
+    o2 = (q2s & jnp.uint32(0xFFFF)).astype(jnp.int32)
     kfirst = jops.segment_min(idx, kid, num_segments=n,
                               indices_are_sorted=True)[kid]
     avg_from_end = o2[jnp.clip(kfirst + ktotal // 2, 0, n - 1)]

@@ -12,8 +12,9 @@ multimap, signature_build.h:61):
      path (models.signature_builder._select_signatures_jax) on the windows
      it owns.
 
-Entries are padded with SENTINEL keys (0xFFFFFFFF words) which sort last
-and are filtered after gathering.
+Entries are padded with SENTINEL keys (0xFFFFFF words — above any valid
+24-bit window word, so they sort last and survive the packed 2-word sort
+keys in _select_signatures_jax) and are filtered after gathering.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import numpy as np
 from ..models.signature_builder import _select_signatures_jax
 from ..ops import hashing
 
-SENTINEL = np.uint32(0xFFFFFFFF)
+SENTINEL = np.uint32(0xFFFFFF)  # > max valid word 0xCF3CF3 (4x code 51)
 
 
 def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
