@@ -64,7 +64,7 @@ class MatrixDistance:
                 )
                 codes, lengths = function_caller_mod.pad_bucketed(
                     sub, cfg.call_batch)
-                found, avg, func, mean, var = self._gather(codes, lengths)
+                found = self._gather(codes, lengths)
                 found = found[:len(sub)]
                 # host-side id interning (sequence order)
                 row_idx = np.empty(len(sub), dtype=np.int64)
@@ -76,9 +76,14 @@ class MatrixDistance:
                     prot_sizes[sid] = int(sub.lengths[i])
                 b, l = np.nonzero(found)
                 if b.size:
-                    # pack (hi, lo) into host uint64 keys for dedupe
-                    hi = self._hi[b, l].astype(np.uint64)
-                    lo = self._lo[b, l].astype(np.uint64)
+                    # reconstruct the hit windows' packed keys from codes
+                    # (hit positions only — the device returns just the
+                    # found mask)
+                    c = codes.astype(np.uint64)
+                    hi = ((c[b, l] << 18) | (c[b, l + 1] << 12)
+                          | (c[b, l + 2] << 6) | c[b, l + 3])
+                    lo = ((c[b, l + 4] << 18) | (c[b, l + 5] << 12)
+                          | (c[b, l + 6] << 6) | c[b, l + 7])
                     kmer_keys.append((hi << np.uint64(24)) | lo)
                     kmer_seqs.append(row_idx[b])
 
@@ -107,10 +112,10 @@ class MatrixDistance:
     # -- internals ---------------------------------------------------------
 
     def _gather(self, codes, lengths):
-        """Device hit gathering with the distance length filter applied.
-
-        Also stashes the packed window words for host-side dedupe."""
-        caller = self.caller
+        """Device hit gathering with the distance filters applied on
+        device; only the (B, L) found mask returns to the host (the raw
+        value words are ~20x the mask's bytes and the link is the
+        bottleneck)."""
         if self.use_device:
             import jax
             import jax.numpy as jnp
@@ -120,6 +125,10 @@ class MatrixDistance:
 
                 self._dev_arrays = self.table.device_arrays(with_aux=True)
                 salt = self.table.salt
+                hypo = self.hypo_index
+                w = self.config.len_sigma_window
+                frac = self.config.zero_var_len_frac
+                exact = (w == 2.0 and frac == 0.1)
 
                 # table arrays are call arguments, not jit constants
                 @jax.jit
@@ -128,46 +137,65 @@ class MatrixDistance:
                         codes, lengths)
                     found, fm, r0, r1, r2 = probe_ops.probe_bucket(
                         packed, whi, wlo, salt, aux)
-                    return found & call_valid, r0, r1, r2, whi, wlo
+                    found = found & call_valid
+                    func = (r0 >> 16).astype(jnp.int32)
+                    mean = (r1 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                    var = (r2 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                    # hypothetical hits never count (matrix_distance.h:88)
+                    found = found & (func != hypo)
+                    # length filter (matrix_distance.h:63-78)
+                    seqlen = lengths.astype(jnp.int32)[:, None]
+                    d = seqlen - mean
+                    if exact:
+                        # exact integer forms of the float64 spec at the
+                        # reference defaults (see golden/distance.py):
+                        # var>0:  |d| <= 2*sqrt(var)  <=>  d^2 <= 4*var
+                        #   (|d| capped: 4*var <= 262140 -> |d|>512 fails)
+                        # var==0: |d| <= 0.2*seqlen   <=>  5*|d| <= seqlen
+                        dc = jnp.minimum(jnp.abs(d), 1024)
+                        okl = jnp.where(var == 0,
+                                        5 * jnp.abs(d) <= seqlen,
+                                        dc * dc <= 4 * var)
+                    else:
+                        sl = seqlen.astype(jnp.float32)
+                        stddev = jnp.where(
+                            var == 0, sl * jnp.float32(frac),
+                            jnp.sqrt(var.astype(jnp.float32)))
+                        df = d.astype(jnp.float32)
+                        okl = jnp.abs(df) <= jnp.float32(w) * stddev
+                    return found & okl
 
                 self._jit_gather = f
-            found, r0, r1, r2, whi, wlo = self._jit_gather(
-                *self._dev_arrays, jnp.asarray(codes), jnp.asarray(lengths))
-            self._hi = np.asarray(whi)
-            self._lo = np.asarray(wlo)
-            found, r0, r1, r2 = map(np.asarray, (found, r0, r1, r2))
-        else:
-            from ..core import alphabet
+            found = np.asarray(self._jit_gather(
+                *self._dev_arrays, jnp.asarray(codes),
+                jnp.asarray(lengths)))
+            return found
 
-            B, L = codes.shape
-            hi = np.zeros((B, L), dtype=np.uint32)
-            lo = np.zeros((B, L), dtype=np.uint32)
-            valid = np.zeros((B, L), dtype=bool)
-            from ..golden.call import valid_call_windows
+        from ..core import alphabet
+        from ..golden.call import valid_call_windows
 
-            for i in range(B):
-                nlen = int(lengths[i])
-                row = codes[i, :nlen]
-                h, l = alphabet.pack_codes_np(row)
-                hi[i, :max(nlen - 7, 0)] = h
-                lo[i, :max(nlen - 7, 0)] = l
-                v = valid_call_windows(row)
-                valid[i, :v.shape[0]] = v
-            found, r0, r1, r2 = self.table.lookup_np(hi, lo)
-            found &= valid
-            self._hi, self._lo = hi, lo
-
+        B, L = codes.shape
+        hi = np.zeros((B, L), dtype=np.uint32)
+        lo = np.zeros((B, L), dtype=np.uint32)
+        valid = np.zeros((B, L), dtype=bool)
+        for i in range(B):
+            nlen = int(lengths[i])
+            row = codes[i, :nlen]
+            h, l = alphabet.pack_codes_np(row)
+            hi[i, :max(nlen - 7, 0)] = h
+            lo[i, :max(nlen - 7, 0)] = l
+            v = valid_call_windows(row)
+            valid[i, :v.shape[0]] = v
+        found, r0, r1, r2 = self.table.lookup_np(hi, lo)
+        found &= valid
         avg, func, mean, median, var = KmerTable.unpack_values(r0, r1, r2)
-        # hypothetical-protein hits never count (matrix_distance.h:88)
         found = found & (func != self.hypo_index)
-        # length filter (matrix_distance.h:63-78)
         seqlen = lengths.astype(np.float64)[:, None]
         stddev = np.where(var == 0, seqlen * self.config.zero_var_len_frac,
                           np.sqrt(var.astype(np.float64)))
         w = self.config.len_sigma_window
         okl = (seqlen >= mean - stddev * w) & (seqlen <= mean + stddev * w)
-        found = found & okl
-        return found, avg, func, mean, var
+        return found & okl
 
     def _pair_counts(self, kmer_id: np.ndarray, seqs: np.ndarray,
                      n_seqs: int) -> np.ndarray:
@@ -181,22 +209,49 @@ class MatrixDistance:
 
             block = 8192
             S = n_seqs
-            C = jnp.zeros((S, S), dtype=jnp.float32)
 
-            @jax.jit
-            def accum(C, A):
-                return C + jnp.dot(A.T, A, preferred_element_type=jnp.float32)
-
+            # densify each incidence block ON DEVICE from sparse
+            # (kmer, seq) indices: shipping dense blocks costs
+            # block*S*4 bytes each (tens of MB); the index form is
+            # ~100x smaller.  (kmer, seq) pairs are already distinct,
+            # so scatter-add builds an exact 0/1 matrix.  All blocks go
+            # up in ONE transfer and a lax.scan accumulates C in one
+            # dispatch (per-block dispatches pay the full link latency).
             order = np.argsort(kmer_id, kind="stable")
             kk = kmer_id[order]
             ss = seqs[order]
-            for start in range(0, n_kmers, block):
-                m = (kk >= start) & (kk < start + block)
-                if not m.any():
-                    continue
-                A = np.zeros((block, S), dtype=np.float32)
-                A[kk[m] - start, ss[m]] = 1.0
-                C = accum(C, jnp.asarray(A))
+            bounds = np.searchsorted(
+                kk, np.arange(0, n_kmers + block, block))
+            counts = np.diff(bounds)
+            cap = max(16, 1 << int(counts.max() - 1).bit_length()) \
+                if counts.size else 16
+            nb = counts.size
+            kk_rel = np.zeros((nb, cap), dtype=np.int32)
+            ssb = np.zeros((nb, cap), dtype=np.int32)
+            val = np.zeros((nb, cap), dtype=bool)
+            for bi in range(nb):
+                a, b = int(bounds[bi]), int(bounds[bi + 1])
+                kk_rel[bi, :b - a] = kk[a:b] - bi * block
+                ssb[bi, :b - a] = ss[a:b]
+                val[bi, :b - a] = True
+
+            @jax.jit
+            def accum_all(kk_rel, ssb, val):
+                def body(C, args):
+                    kr, sb, v = args
+                    A = jnp.zeros((block, S), dtype=jnp.float32)
+                    A = A.at[kr, sb].add(v.astype(jnp.float32),
+                                         mode="drop")
+                    return C + jnp.dot(
+                        A.T, A, preferred_element_type=jnp.float32), None
+
+                C, _ = jax.lax.scan(
+                    body, jnp.zeros((S, S), dtype=jnp.float32),
+                    (kk_rel, ssb, val))
+                return C
+
+            C = accum_all(jnp.asarray(kk_rel), jnp.asarray(ssb),
+                          jnp.asarray(val))
             return np.asarray(C).astype(np.int64)
         # host fallback
         C = np.zeros((n_seqs, n_seqs), dtype=np.int64)
