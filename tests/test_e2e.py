@@ -207,6 +207,30 @@ class TestService:
 
         assert lines[0].split("\t")[1] == FUNCTIONS[0]
 
+        # /fq_lookup over real HTTP: reverse-translate a called query
+        # protein into a FASTQ read and expect the same call at frame +1
+        from signature_kmers_tpu.core import dna
+
+        called = lines[0].split("\t")
+        fa_lines = fa.decode("latin-1").splitlines()
+        pep_parts = []
+        for ln in fa_lines[1:]:
+            if ln.startswith(">"):
+                break
+            pep_parts.append(ln)
+        pep = "".join(pep_parts)
+        codon = {}
+        for i, aa in enumerate(dna._CODE_TABLE):
+            codon.setdefault(
+                aa, "TCAG"[i // 16] + "TCAG"[(i // 4) % 4] + "TCAG"[i % 4])
+        read = "".join(codon[a] for a in pep)
+        fq = (f"@r0\n{read}\n+\n{'I' * len(read)}\n").encode()
+        req = urllib.request.Request(base + "/fq_lookup", data=fq,
+                                     method="POST")
+        resp = urllib.request.urlopen(req, timeout=60).read().decode()
+        row = resp.splitlines()[0].split("\t")
+        assert row[0] == "r0" and row[1] == "+1" and row[2] == called[1]
+
         urllib.request.urlopen(base + "/quit", timeout=5).read()
         t.join(timeout=10)
         assert not t.is_alive()
