@@ -37,6 +37,15 @@ def _add_build(sub):
     p.add_argument("--final-kmers")
     p.add_argument("--min-reps-required", type=int, default=3)
     p.add_argument("--n-threads", type=int, default=1)  # accepted for parity
+    p.add_argument("--nudb-file",
+                   help="also save the table under this base path "
+                        "(ref's NuDB output; one store format here)")
+    p.add_argument("--perfect-hash",
+                   help="also save the table under this base path "
+                        "(ref's CMPH output; one store format here)")
+    p.add_argument("--perfect-hash-data",
+                   help="accepted for reference CLI parity (the store is "
+                        "a single npz; no separate data file)")
     p.add_argument("--kept-log")
     p.add_argument("--no-recall", action="store_true")
     p.add_argument("--checkpoint", action="store_true",
@@ -68,6 +77,8 @@ def cmd_build(args):
         ignored_functions_file=args.ignored_functions_file,
         kmer_data_dir=args.kmer_data_dir,
         final_kmers=args.final_kmers,
+        nudb_file=args.nudb_file,
+        perfect_hash=args.perfect_hash,
         recall=not args.no_recall,
         kept_log=args.kept_log,
         checkpoint=args.checkpoint,
@@ -122,17 +133,23 @@ def cmd_call(args):
     out = open(args.output_file, "w") if args.output_file else sys.stdout
     try:
         for path in args.input_files:
-            for res in caller.call_file(path, keep_hits=args.debug_hits):
+            batch = fasta_io.read_fasta_batch(path)
+            results = caller.call_batch(batch, keep_hits=args.debug_hits) \
+                if args.debug_hits else caller.call_batch(batch)
+            for i, res in enumerate(results):
                 if args.debug_hits and res.hits:
                     from ..core import alphabet
                     import math
 
+                    seq = batch.codes[batch.offsets[i]:batch.offsets[i + 1]]
+                    # hit line format incl. trailing tab, to stdout
+                    # (ref: kmers-call-functions.cc:114-116)
                     for h in res.hits:
                         fn = (function_index[h.function_index]
                               if h.function_index < len(function_index) else "")
-                        print(f"<hit>\t{h.pos}\t{fn}\t{h.median}\t{h.mean}\t"
-                              f"{h.var}\t{formats.cxx_num(math.sqrt(h.var))}",
-                              file=out)
+                        kmer = alphabet.decode_codes(seq[h.pos:h.pos + 8])
+                        print(f"{kmer}\t{h.pos}\t{fn}\t{h.median}\t{h.mean}\t"
+                              f"{h.var}\t{formats.cxx_num(math.sqrt(h.var))}\t")
                 out.write(formats.format_call_row(
                     res.seq_id, res.best.function,
                     res.best.function_index, res.best.score))

@@ -47,6 +47,8 @@ def run_build(
     use_device: bool = True,
     checkpoint: bool = False,
     mesh=None,
+    nudb_file=None,
+    perfect_hash=None,
 ) -> BuildResult:
     builder = SignatureBuilder(config.build, kept_log, use_device=use_device)
 
@@ -99,6 +101,17 @@ def run_build(
     table = kept.to_table(config.table)
     if write_table and kmer_data_dir:
         table.save(kmer_data_dir / "kmer_data")
+    # CLI-compat alternative store outputs (ref: --nudb-file writes a NuDB
+    # triple, kmers-build-signatures.cc:351-355; --perfect-hash{,-data}
+    # write the CMPH MPH + value array, :253-264).  This framework has
+    # one store format (npz + json, loadable straight into HBM), written
+    # under the requested base paths.
+    for extra in (nudb_file, perfect_hash):
+        if extra:
+            p = Path(extra)
+            if not p.is_absolute() and kmer_data_dir:
+                p = kmer_data_dir / p
+            table.save(p)
 
     if recall and kmer_data_dir:
         _run_recall(builder, table, function_index, kmer_data_dir, config)
