@@ -97,22 +97,23 @@ class FunctionCaller:
             from ..ops import automaton as automaton_ops
             from ..ops import probe as probe_ops
 
-            arrays = self.table.device_arrays(with_aux=False)
-            salt = self.table.salt
+            pfn, arrays = probe_ops.table_probe(self.table, with_aux=False)
+            n_tab = len(arrays)
             cfg = self.config
             hypo = self.hypo_index
             ignore_hypo = cfg.ignore_hypothetical
 
             @jax.jit
-            def f(packed, codes_u6, offsets):
+            def f(*args):
                 import jax.numpy as jnp
 
+                table_arrays = args[:n_tab]
+                codes_u6, offsets = args[n_tab:]
                 flat_codes = kmer_pack.unpack_u6(codes_u6)
                 codes, lengths = kmer_pack.expand_flat(flat_codes, offsets, L)
                 whi, wlo, call_valid = kmer_pack.pack_call_windows(
                     codes, lengths)
-                found, fm = probe_ops.probe_bucket(packed, whi, wlo,
-                                                   salt, None)
+                found, fm = pfn(*table_arrays, whi, wlo)
                 found = found & call_valid
                 func = (fm >> 16).astype(jnp.int32)
                 mean = (fm & jnp.uint32(0xFFFF)).astype(jnp.int32)
@@ -324,23 +325,16 @@ class FunctionCaller:
 
             from ..ops import probe as probe_ops
 
-            arrays = self.table.device_arrays(with_aux=with_aux)
-            salt = self.table.salt
+            pfn, arrays = probe_ops.table_probe(self.table, with_aux=with_aux)
+            n_tab = len(arrays)
 
-            if with_aux:
-                @jax.jit
-                def f(packed, aux, codes, lengths):
-                    win = kmer_pack.pack_windows(codes, lengths)
-                    res = probe_ops.probe_bucket(packed, win["hi"],
-                                                 win["lo"], salt, aux)
-                    return (res[0] & win["call_valid"],) + tuple(res[1:])
-            else:
-                @jax.jit
-                def f(packed, codes, lengths):
-                    win = kmer_pack.pack_windows(codes, lengths)
-                    res = probe_ops.probe_bucket(packed, win["hi"],
-                                                 win["lo"], salt, None)
-                    return (res[0] & win["call_valid"],) + tuple(res[1:])
+            @jax.jit
+            def f(*args):
+                table_arrays = args[:n_tab]
+                codes, lengths = args[n_tab:]
+                win = kmer_pack.pack_windows(codes, lengths)
+                res = pfn(*table_arrays, win["hi"], win["lo"])
+                return (res[0] & win["call_valid"],) + tuple(res[1:])
 
             self._gather_jit[with_aux] = (f, arrays)
         return self._gather_jit[with_aux]

@@ -131,3 +131,101 @@ def probe_bucket(packed, qhi, qlo, salt: int, aux=None):
 def split_fm(fm):
     """fm -> (function_index, mean) uint32."""
     return fm >> 16, fm & jnp.uint32(0xFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Wide-bucket probe: ONE main row-gather + a small cached overflow lookup
+# ---------------------------------------------------------------------------
+
+
+def _tagged_match(packed, qhi, qlo, salt: int, bits: int):
+    """One gather + tag compare on a tagged single-hash store.
+
+    Returns (bucket, match_mask_u32, found, fm)."""
+    s = packed.shape[1] // 2
+    L, R = hashing.perm48(qhi, qlo, salt, jnp)
+    bucket, tag = hashing.wide_bucket_tag(L, R, bits, jnp)
+    bucket = bucket.astype(jnp.int32)
+    row = packed[bucket]  # (..., 2*slots): the single row gather
+    m = row[..., 0:s] == tag[..., None]
+    f = m.any(axis=-1)
+    mu = m.astype(jnp.uint32)
+    # at most one slot matches (tags are injective); masked sum selects it
+    fm = jnp.sum(row[..., s:2 * s] * mu, axis=-1)
+    return bucket, mu, f, fm
+
+
+def _gather_aux(aux, bucket, mu):
+    s = mu.shape[-1]
+    arow = aux[bucket]  # (..., 3*slots)
+    return (jnp.sum(arow[..., 0:s] * mu, axis=-1),
+            jnp.sum(arow[..., s:2 * s] * mu, axis=-1),
+            jnp.sum(arow[..., 2 * s:3 * s] * mu, axis=-1))
+
+
+def probe_wide(packed, ov_packed, qhi, qlo, salt: int, ov_salt: int,
+               bits: int, ov_bits: int, aux=None, ov_aux=None,
+               ov_empty: bool = False):
+    """Probe a WideKmerTable (see table/wide_table.py): one large row
+    gather + one small one (dropped statically when the build had no
+    overflow keys).
+
+    Returns (found, fm) or (found, fm, r0, r1, r2).
+    Call under jit; salts/bits/ov_empty must be static (close over them).
+    """
+    qhi = qhi.astype(jnp.uint32)
+    qlo = qlo.astype(jnp.uint32)
+    b1, mu1, f1, fm1 = _tagged_match(packed, qhi, qlo, salt, bits)
+    if ov_empty:
+        if aux is None:
+            return f1, fm1
+        return (f1, fm1) + _gather_aux(aux, b1, mu1)
+
+    b2, mu2, f2, fm2 = _tagged_match(ov_packed, qhi, qlo, ov_salt, ov_bits)
+    found = f1 | f2
+    fm = jnp.where(f1, fm1, fm2)
+    if aux is None:
+        return found, fm
+    r1s = _gather_aux(aux, b1, mu1)
+    r2s = _gather_aux(ov_aux, b2, mu2)
+    return (found, fm) + tuple(jnp.where(f1, a, b)
+                               for a, b in zip(r1s, r2s))
+
+
+def table_probe(table, with_aux: bool):
+    """Uniform device-probe interface over the table layouts.
+
+    Returns (fn, arrays): fn(*arrays, qhi, qlo) -> (found, fm[, r0, r1, r2])
+    for use inside jit; `arrays` are the HBM-resident jnp table arrays to
+    pass as jit ARGUMENTS (closing over them would bake hundreds of MB
+    into the executable as constants).
+    """
+    from ..table.bucket_table import BucketKmerTable
+    from ..table.wide_table import WideKmerTable
+
+    arrays = table.device_arrays(with_aux=with_aux)
+    if isinstance(table, WideKmerTable):
+        salt, ov_salt = table.salt, table.ov_salt
+        bits, ov_bits = table.bits, table.ov_bits
+        ov_empty = table.ov_items == 0
+        if with_aux:
+            def fn(packed, ov_packed, aux, ov_aux, qhi, qlo):
+                return probe_wide(packed, ov_packed, qhi, qlo, salt,
+                                  ov_salt, bits, ov_bits, aux, ov_aux,
+                                  ov_empty)
+        else:
+            def fn(packed, ov_packed, qhi, qlo):
+                return probe_wide(packed, ov_packed, qhi, qlo, salt,
+                                  ov_salt, bits, ov_bits,
+                                  ov_empty=ov_empty)
+        return fn, arrays
+    if isinstance(table, BucketKmerTable):
+        salt = table.salt
+        if with_aux:
+            def fn(packed, aux, qhi, qlo):
+                return probe_bucket(packed, qhi, qlo, salt, aux)
+        else:
+            def fn(packed, qhi, qlo):
+                return probe_bucket(packed, qhi, qlo, salt, None)
+        return fn, arrays
+    raise TypeError(f"no device probe for table type {type(table)!r}")

@@ -76,7 +76,8 @@ class BucketKmerTable:
 
     @staticmethod
     def build(hi, lo, v0, v1, v2,
-              config: TableConfig = TableConfig()) -> "BucketKmerTable":
+              config: TableConfig = TableConfig(),
+              target_load: float = 0.7) -> "BucketKmerTable":
         hi = np.asarray(hi, dtype=np.uint32)
         lo = np.asarray(lo, dtype=np.uint32)
         v0 = np.asarray(v0, dtype=np.uint32)
@@ -88,9 +89,11 @@ class BucketKmerTable:
             if np.unique(packed_keys).shape[0] != n:
                 raise ValueError(
                     "duplicate k-mer keys in table build input")
-        # bucket load target ~0.7 of slot capacity
+        # bucket load target ~0.7 of slot capacity by default; the wide
+        # table's overflow store pushes to ~0.85 ((2x2)-cuckoo supports
+        # ~0.89) to stay inside the small-gather cached regime
         slots = config.slots
-        want_slots = max(config.min_size, int(n / 0.7) + slots)
+        want_slots = max(config.min_size, int(n / target_load) + slots)
         n_buckets = hashing.next_pow2(-(-want_slots // slots))
 
         # native single-pass insertion when the toolchain is present

@@ -1,0 +1,218 @@
+"""Wide-bucket table: Feistel key permutation, build, probe, caller parity.
+
+The wide layout stores only a tag per slot; exactness rests on the 48-bit
+Feistel permutation being injective and (bucket, tag) covering all of it.
+These tests fuzz that end to end against brute force, the host probe, the
+device probe, and the full caller against the cuckoo-table path.
+"""
+
+import numpy as np
+import pytest
+
+from signature_kmers_tpu.ops import hashing
+from signature_kmers_tpu.table.bucket_table import BucketKmerTable
+from signature_kmers_tpu.table.wide_table import WideKmerTable, WideTableConfig
+
+
+def random_keys(rng, n):
+    hi = rng.integers(0, 1 << 24, n, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 24, n, dtype=np.uint32)
+    packed = (hi.astype(np.uint64) << 24) | lo.astype(np.uint64)
+    _, idx = np.unique(packed, return_index=True)
+    return hi[idx], lo[idx]
+
+
+def random_values(rng, n):
+    return (rng.integers(0, 2**32, n, dtype=np.uint32),
+            rng.integers(0, 2**32, n, dtype=np.uint32),
+            rng.integers(0, 2**32, n, dtype=np.uint32))
+
+
+class TestPerm48:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        hi, lo = random_keys(rng, 20000)
+        for salt in (0, 0x51DE0000, 0xDEADBEEF):
+            L, R = hashing.perm48(hi, lo, salt)
+            assert (L <= 0xFFFFFF).all() and (R <= 0xFFFFFF).all()
+            h2, l2 = hashing.perm48_inv(L, R, salt)
+            np.testing.assert_array_equal(h2, hi)
+            np.testing.assert_array_equal(l2, lo)
+
+    def test_bucket_tag_bijection(self):
+        rng = np.random.default_rng(1)
+        hi, lo = random_keys(rng, 30000)
+        L, R = hashing.perm48(hi, lo, 7)
+        for bits in (17, 20, 24, 26):
+            b, t = hashing.wide_bucket_tag(L, R, bits)
+            assert (t <= (1 << (48 - bits)) - 1).all()
+            key = (b.astype(np.uint64) << 32) | t
+            assert np.unique(key).shape[0] == hi.shape[0]
+
+    def test_bits_bounds(self):
+        with pytest.raises(ValueError):
+            hashing.wide_bucket_tag(np.uint32(0), np.uint32(0), 15)
+        with pytest.raises(ValueError):
+            hashing.wide_bucket_tag(np.uint32(0), np.uint32(0), 31)
+
+
+class TestWideTable:
+    def _build(self, rng, n, **cfg):
+        hi, lo = random_keys(rng, n)
+        n = hi.shape[0]
+        v0, v1, v2 = random_values(rng, n)
+        t = WideKmerTable.build(hi, lo, v0, v1, v2,
+                                WideTableConfig(**cfg) if cfg
+                                else WideTableConfig())
+        return t, hi, lo, v0, v1, v2
+
+    def test_build_and_lookup(self):
+        rng = np.random.default_rng(2)
+        t, hi, lo, v0, v1, v2 = self._build(rng, 40000)
+        found, r0, r1, r2 = t.lookup_np(hi, lo)
+        assert found.all()
+        np.testing.assert_array_equal(r0, v0)
+        np.testing.assert_array_equal(r1, v1)
+        np.testing.assert_array_equal(r2, v2)
+        mh, ml = random_keys(rng, 20000)
+        member = set(zip(hi.tolist(), lo.tolist()))
+        miss = np.array([(h, l) not in member
+                         for h, l in zip(mh.tolist(), ml.tolist())])
+        f2, m0, m1, m2 = t.lookup_np(mh, ml)
+        assert not f2[miss].any()
+        assert (m0[miss] == 0).all() and (m2[miss] == 0).all()
+
+    def test_overflow_path_exercised(self):
+        # slots=1 at high load forces a large Poisson tail into overflow
+        rng = np.random.default_rng(3)
+        t, hi, lo, v0, v1, v2 = self._build(
+            rng, 200000, slots=1, main_load=1.5, min_bits=17)
+        assert t.ov_items > 1000
+        found, r0, r1, r2 = t.lookup_np(hi, lo)
+        assert found.all()
+        np.testing.assert_array_equal(r0, v0)
+        np.testing.assert_array_equal(r2, v2)
+
+    def test_occupied_reconstructs_keys(self):
+        rng = np.random.default_rng(4)
+        t, hi, lo, v0, v1, v2 = self._build(
+            rng, 50000, slots=2, main_load=1.0)
+        assert t.ov_items > 0  # both stores contribute
+        oh, ol, o0, o1, o2 = t.occupied()
+        order = np.lexsort((lo, hi))
+        np.testing.assert_array_equal(oh, hi[order])
+        np.testing.assert_array_equal(ol, lo[order])
+        np.testing.assert_array_equal(o0, v0[order])
+        np.testing.assert_array_equal(o1, v1[order])
+        np.testing.assert_array_equal(o2, v2[order])
+
+    def test_save_load(self, tmp_path):
+        rng = np.random.default_rng(5)
+        t, hi, lo, v0, v1, v2 = self._build(rng, 3000)
+        t.save(tmp_path / "wide")
+        assert WideKmerTable.exists(tmp_path / "wide")
+        assert not BucketKmerTable.exists(tmp_path / "wide")
+        t2 = WideKmerTable.load(tmp_path / "wide")
+        assert t2.n_items == t.n_items and t2.bits == t.bits
+        f, r0, r1, r2 = t2.lookup_np(hi, lo)
+        assert f.all()
+        np.testing.assert_array_equal(r1, v1)
+
+    def test_empty_and_single(self):
+        z = np.zeros(0, dtype=np.uint32)
+        t = WideKmerTable.build(z, z, z, z, z)
+        f, *_ = t.lookup_np(np.asarray([5], np.uint32),
+                            np.asarray([9], np.uint32))
+        assert not f.any()
+        one = np.asarray([12345], np.uint32)
+        t1 = WideKmerTable.build(one, one, one, one, one)
+        f, r0, _, _ = t1.lookup_np(one, one)
+        assert f.all() and r0[0] == 12345
+
+    def test_device_probe_matches_host(self):
+        import jax
+        import jax.numpy as jnp
+
+        from signature_kmers_tpu.ops import probe
+
+        rng = np.random.default_rng(6)
+        t, hi, lo, v0, v1, v2 = self._build(rng, 30000, slots=4,
+                                            main_load=1.2)
+        assert t.ov_items > 0
+        qh, ql = random_keys(rng, 4000)
+        qh = np.concatenate([qh, hi[:4000]]).reshape(2, -1)
+        ql = np.concatenate([ql, lo[:4000]]).reshape(2, -1)
+
+        pfn, arrays = probe.table_probe(t, with_aux=False)
+        fd, fm = jax.jit(pfn)(*arrays, jnp.asarray(qh), jnp.asarray(ql))
+        fh, h0, h1, h2 = t.lookup_np(qh, ql)
+        np.testing.assert_array_equal(np.asarray(fd), fh)
+        exp_fm = ((h0 >> 16) << 16) | (h1 & 0xFFFF)
+        np.testing.assert_array_equal(np.asarray(fm), exp_fm)
+
+        pfn, arrays = probe.table_probe(t, with_aux=True)
+        fd, fm, d0, d1, d2 = jax.jit(pfn)(*arrays, jnp.asarray(qh),
+                                          jnp.asarray(ql))
+        np.testing.assert_array_equal(np.asarray(fd), fh)
+        np.testing.assert_array_equal(np.asarray(d0), h0)
+        np.testing.assert_array_equal(np.asarray(d1), h1)
+        np.testing.assert_array_equal(np.asarray(d2), h2)
+
+
+class TestCallerParity:
+    def test_caller_identical_across_layouts(self):
+        """Full caller pipeline: wide table == cuckoo table, row for row."""
+        from signature_kmers_tpu.core import alphabet
+        from signature_kmers_tpu.core.config import CallConfig, DeviceConfig
+        from signature_kmers_tpu.io.fasta import SequenceBatch
+        from signature_kmers_tpu.models.function_caller import FunctionCaller
+        from signature_kmers_tpu.table.kmer_table import KmerTable
+
+        rng = np.random.default_rng(7)
+        aa = alphabet.encode_seq(alphabet.AA20)
+        corpus = aa[rng.integers(0, 20, 60000 + 7)].astype(np.uint8)
+        hi, lo = alphabet.pack_codes_np(corpus)
+        fn = ((np.arange(hi.shape[0]) // 120) % 300).astype(np.uint32)
+        packed = (hi.astype(np.uint64) << 24) | lo
+        _, idx = np.unique(packed, return_index=True)
+        idx.sort()
+        hi, lo, fn = hi[idx], lo[idx], fn[idx]
+        n = hi.shape[0]
+        v0, v1, v2 = KmerTable.pack_values(
+            rng.integers(0, 120, n), fn,
+            np.full(n, 120, np.uint32), np.full(n, 120, np.uint32),
+            np.full(n, 400, np.uint32))
+        tb = BucketKmerTable.build(hi, lo, v0, v1, v2)
+        tw = WideKmerTable.build(hi, lo, v0, v1, v2,
+                                 WideTableConfig(slots=2, main_load=1.0))
+        assert tw.ov_items > 0
+
+        nq, slen = 96, 120
+        starts = rng.integers(0, 60000 - slen, nq)
+        codes = np.stack([corpus[s:s + slen] for s in starts]).copy()
+        for q in range(nq):  # mutations + an ambiguous residue
+            pos = rng.integers(0, slen, 4)
+            codes[q, pos] = aa[rng.integers(0, 20, 4)]
+        codes[5, 60] = alphabet.INVALID_CODE
+        flat = codes.reshape(-1)
+        offs = (np.arange(nq + 1) * slen).astype(np.int32)
+        batch = SequenceBatch(flat, offs, [f"q{i}" for i in range(nq)],
+                              [""] * nq)
+        findex = [f"fn{i}" for i in range(300)] + ["hypothetical protein"]
+
+        res = []
+        for table in (tb, tw):
+            caller = FunctionCaller(table, findex, CallConfig(),
+                                    DeviceConfig(call_batch=64))
+            res.append(caller.call_batch(batch))
+        a, b = res
+        assert len(a) == len(b) == nq
+        for ra, rb in zip(a, b):
+            assert ra.seq_id == rb.seq_id
+            assert ra.best.function_index == rb.best.function_index
+            assert ra.best.function == rb.best.function
+            assert ra.best.score == rb.best.score
+            assert [(c.start, c.end, c.count, c.function_index)
+                    for c in ra.calls] == \
+                   [(c.start, c.end, c.count, c.function_index)
+                    for c in rb.calls]
