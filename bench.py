@@ -5,7 +5,7 @@ Prints ONE JSON line:
    "vs_baseline": R}
 
 value       = end-to-end sequences/s of the batched caller (device k-mer
-              pack + bucketed-cuckoo HBM probe + native automaton +
+              pack + wide tagged-bucket HBM probe + native automaton +
               best-call scoring) on one chip.
 vs_baseline = value / (single-thread reference-style CPU caller measured
               on this machine: one table probe per residue + the same
@@ -65,6 +65,7 @@ def build_workload(seed=7, n_kmers=None, n_queries=None):
     from signature_kmers_tpu.core import alphabet
     from signature_kmers_tpu.table.bucket_table import BucketKmerTable
     from signature_kmers_tpu.table.kmer_table import KmerTable
+    from signature_kmers_tpu.table.wide_table import WideKmerTable
 
     n_kmers = n_kmers or N_KMERS_TARGET
     n_queries = n_queries or N_QUERIES
@@ -87,11 +88,16 @@ def build_workload(seed=7, n_kmers=None, n_queries=None):
         np.full(n, SEQ_LEN, dtype=np.uint32),
         np.full(n, 900, dtype=np.uint32))
     t0 = time.perf_counter()
-    table = BucketKmerTable.build(hi, lo, v0.astype(np.uint32),
-                                  v1.astype(np.uint32), v2.astype(np.uint32))
+    table = WideKmerTable.build(hi, lo, v0.astype(np.uint32),
+                                v1.astype(np.uint32), v2.astype(np.uint32))
     print(f"table build: {time.perf_counter()-t0:.1f}s for {n:,} keys, "
-          f"{table.n_buckets:,} buckets (load {n/table.size:.2f})",
+          f"{table.n_buckets:,} buckets + {table.ov_items:,} overflow "
+          f"({table.packed.nbytes/2**20:.0f} MB)",
           file=sys.stderr)
+    # the C++ reference-style CPU baseline probes the cuckoo layout
+    cpu_table = BucketKmerTable.build(hi, lo, v0.astype(np.uint32),
+                                      v1.astype(np.uint32),
+                                      v2.astype(np.uint32))
 
     # queries: windows of the corpus with ~3% point mutations
     starts = rng.integers(0, n_kmers - SEQ_LEN, n_queries)
@@ -102,7 +108,7 @@ def build_workload(seed=7, n_kmers=None, n_queries=None):
         codes[q, pos] = aa[rng.integers(0, 20, nmut)]
     function_index = [f"fn{i}" for i in range(N_FUNCTIONS)] + [
         "hypothetical protein"]
-    return table, function_index, codes
+    return table, cpu_table, function_index, codes
 
 
 def main():
@@ -130,10 +136,10 @@ def main():
 
     if dev.platform == "cpu":
         # fallback mode: scaled-down workload so the bench completes
-        table, function_index, codes = build_workload(
+        table, cpu_table, function_index, codes = build_workload(
             n_kmers=2_000_000, n_queries=2048)
     else:
-        table, function_index, codes = build_workload()
+        table, cpu_table, function_index, codes = build_workload()
     n_queries, seq_len = codes.shape
 
     cfg = Config()
@@ -170,7 +176,7 @@ def main():
         best_dt = float("inf")
         for _ in range(3):  # best-of-3: shared-host timing noise is large
             t0 = time.perf_counter()
-            host.cpu_baseline_call(flat[:so[-1]], so, table,
+            host.cpu_baseline_call(flat[:so[-1]], so, cpu_table,
                                    cfg.call.min_hits, cfg.call.max_gap,
                                    cfg.call.k, cfg.call.mad_floor,
                                    cfg.call.len_mad_window)

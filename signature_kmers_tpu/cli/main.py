@@ -54,6 +54,9 @@ def _add_build(sub):
                    help="shard the selection pass over all local devices")
     p.add_argument("--host-only", action="store_true",
                    help="skip device pipelines (debug)")
+    p.add_argument("--table-layout", default="wide",
+                   choices=["wide", "wide-compact", "cuckoo"],
+                   help="signature-table HBM layout (see table/wide_table.py)")
     p.set_defaults(func=cmd_build)
 
 
@@ -64,7 +67,8 @@ def cmd_build(args):
     cfg = Config()
     cfg = dataclasses.replace(
         cfg, build=dataclasses.replace(
-            cfg.build, min_reps_required=args.min_reps_required))
+            cfg.build, min_reps_required=args.min_reps_required),
+        table=dataclasses.replace(cfg.table, layout=args.table_layout))
     good_functions = paths.load_strings(args.good_functions)
     good_roles = paths.load_strings(args.good_roles)
     res = pipeline.run_build(

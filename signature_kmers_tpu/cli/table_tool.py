@@ -19,22 +19,27 @@ import numpy as np
 
 from ..core import alphabet
 from ..io import formats
-from ..table.bucket_table import BucketKmerTable
+from ..table import open_table, table_from_stats
 
 
 def cmd_info(args):
-    t = BucketKmerTable.load(Path(args.data_dir) / "kmer_data")
+    t = open_table(Path(args.data_dir) / "kmer_data")
+    print(f"layout     {type(t).__name__}")
     print(f"kmers      {t.n_items}")
-    print(f"buckets    {t.n_buckets}")
+    if hasattr(t, "n_buckets"):
+        print(f"buckets    {t.n_buckets}")
     print(f"slots      {t.size}")
     print(f"load       {t.n_items / t.size:.3f}")
-    print(f"salt       0x{t.salt:08x}")
-    print(f"bytes      {t.packed.nbytes + t.aux.nbytes}")
+    if hasattr(t, "salt"):
+        print(f"salt       0x{t.salt:08x}")
+    nbytes = sum(a.nbytes for a in vars(t).values()
+                 if hasattr(a, "nbytes"))
+    print(f"bytes      {nbytes}")
     return 0
 
 
 def cmd_dump(args):
-    t = BucketKmerTable.load(Path(args.data_dir) / "kmer_data")
+    t = open_table(Path(args.data_dir) / "kmer_data")
     hi, lo, v0, v1, v2 = t.occupied()
     out = open(args.output, "w") if args.output else sys.stdout
     try:
@@ -61,7 +66,7 @@ def cmd_dump(args):
 def cmd_build(args):
     hi, lo, avg, fn = formats.read_final_kmers(args.final_kmers)
     z = np.zeros(hi.shape[0], dtype=np.uint16)
-    t = BucketKmerTable.from_stats(hi, lo, avg, fn, z, z, z)
+    t = table_from_stats(hi, lo, avg, fn, z, z, z)
     out = Path(args.data_dir)
     out.mkdir(parents=True, exist_ok=True)
     t.save(out / "kmer_data")
@@ -70,7 +75,7 @@ def cmd_build(args):
 
 
 def cmd_verify(args):
-    t = BucketKmerTable.load(Path(args.data_dir) / "kmer_data")
+    t = open_table(Path(args.data_dir) / "kmer_data")
     hi, lo, v0, v1, v2 = t.occupied()
     found, r0, r1, r2 = t.lookup_np(hi, lo)
     ok = (found.all() and (r0 == v0).all() and (r1 == v1).all()

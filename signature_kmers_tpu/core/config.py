@@ -55,6 +55,11 @@ class DistanceConfig:
 class TableConfig:
     """HBM hash-table parameters."""
 
+    # production layout: "wide" (1 big + 1 small gather, fastest),
+    # "wide-compact" (32B rows, half the HBM, ~18% slower probes), or
+    # "cuckoo" (2x24B-row gathers, least HBM).  Measured per-window costs
+    # in table/wide_table.py and docs/PERF.md.
+    layout: str = "wide"
     load_factor: float = 0.6            # open addressing fill target
     min_size: int = 1024                # smallest table (power of two)
     max_probes_cap: int = 512           # safety bound for degenerate builds

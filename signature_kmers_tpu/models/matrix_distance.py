@@ -123,8 +123,9 @@ class MatrixDistance:
             if not hasattr(self, "_jit_gather"):
                 from ..ops import probe as probe_ops
 
-                self._dev_arrays = self.table.device_arrays(with_aux=True)
-                salt = self.table.salt
+                pfn, self._dev_arrays = probe_ops.table_probe(
+                    self.table, with_aux=True)
+                n_tab = len(self._dev_arrays)
                 hypo = self.hypo_index
                 w = self.config.len_sigma_window
                 frac = self.config.zero_var_len_frac
@@ -132,11 +133,12 @@ class MatrixDistance:
 
                 # table arrays are call arguments, not jit constants
                 @jax.jit
-                def f(packed, aux, codes, lengths):
+                def f(*args):
+                    table_arrays = args[:n_tab]
+                    codes, lengths = args[n_tab:]
                     whi, wlo, call_valid = kmer_pack.pack_call_windows(
                         codes, lengths)
-                    found, fm, r0, r1, r2 = probe_ops.probe_bucket(
-                        packed, whi, wlo, salt, aux)
+                    found, fm, r0, r1, r2 = pfn(*table_arrays, whi, wlo)
                     found = found & call_valid
                     func = (r0 >> 16).astype(jnp.int32)
                     mean = (r1 & jnp.uint32(0xFFFF)).astype(jnp.int32)

@@ -149,9 +149,14 @@ def load_data_dir(data_dir, config: Config = Config(),
     Reads the signature table (kmer_data.{npz,json}) and function.index,
     the same layout the reference CLIs consume
     (ref: kmers-call-functions.cc:93-106)."""
+    from ..table import table_from_stats
+    from ..table.wide_table import WideKmerTable
+
     data_dir = Path(data_dir)
     base = data_dir / "kmer_data"
-    if BucketKmerTable.exists(base):
+    if WideKmerTable.exists(base):
+        table = WideKmerTable.load(base)
+    elif BucketKmerTable.exists(base):
         table = BucketKmerTable.load(base)
     elif KmerTable.exists(base):
         # legacy linear-table artifact: convert on load
@@ -165,8 +170,7 @@ def load_data_dir(data_dir, config: Config = Config(),
 
             hi, lo, avg, fn = formats.read_final_kmers(fk)
             z = np.zeros(hi.shape[0], dtype=np.uint16)
-            table = BucketKmerTable.from_stats(hi, lo, avg, fn, z, z, z,
-                                               config.table)
+            table = table_from_stats(hi, lo, avg, fn, z, z, z, config.table)
         else:
             raise FileNotFoundError(f"No kmer table at {base}")
     function_index = formats.read_function_index(data_dir / "function.index")

@@ -52,10 +52,10 @@ class KeptKmerArrays:
         return int(self.hi.shape[0])
 
     def to_table(self, config: TableConfig = TableConfig()):
-        """Production bucketed-cuckoo table (table/bucket_table.py)."""
-        from ..table.bucket_table import BucketKmerTable
+        """Production table in the configured layout (table/__init__.py)."""
+        from ..table import table_from_stats
 
-        return BucketKmerTable.from_stats(
+        return table_from_stats(
             self.hi, self.lo, self.avg_from_end, self.function_index,
             self.mean, self.median, self.var, config)
 

@@ -95,7 +95,7 @@ class AnnotationService:
         import numpy as np
 
         from ..core import alphabet
-        from ..table.bucket_table import BucketKmerTable
+        from ..table import build_table
 
         his, los, v0s, v1s, v2s = [], [], [], [], []
         for line in body.decode("latin-1").splitlines():
@@ -121,7 +121,7 @@ class AnnotationService:
         old_keys = (hi.astype(np.uint64) << 24) | lo
         new_keys = (nh.astype(np.uint64) << 24) | nl
         keep = ~np.isin(old_keys, new_keys)
-        self.table = BucketKmerTable.build(
+        self.table = build_table(
             np.concatenate([hi[keep], nh]),
             np.concatenate([lo[keep], nl]),
             np.concatenate([v0[keep], np.asarray(v0s, np.uint32)]),
