@@ -549,4 +549,64 @@ long skt_build_cuckoo(const uint32_t *hi, const uint32_t *lo,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Native wide tagged-bucket placement (table/wide_table.py _place_tagged)
+//
+// One pass over the keys: 3-round Feistel permutation of the 48-bit key
+// (exactly ops/hashing.perm48), split into (bucket, tag), first-come slot
+// claim.  Identical output to the numpy fallback (stable bucket argsort
+// there == input-order first-come here).  Writes straight into the final
+// packed[n_buckets][2S] (tag*S, fm*S) and aux[n_buckets][3S] layouts.
+// leftover gets input indices of keys whose bucket was already full, in
+// input order.  Returns the leftover count, or -1 on a duplicate key
+// (same bucket+tag == same key, since the permutation is injective).
+
+long skt_build_wide(const uint32_t *hi, const uint32_t *lo,
+                    const uint32_t *v0, const uint32_t *v1,
+                    const uint32_t *v2,
+                    long n, int bits, uint32_t salt, int S,
+                    uint32_t *packed, uint32_t *aux, long *leftover) {
+    const long nb = 1L << bits;
+    for (long b = 0; b < nb; b++) {
+        uint32_t *row = packed + b * 2 * S;
+        for (int s = 0; s < S; s++) row[s] = 0xFFFFFFFFu;
+        for (int s = S; s < 2 * S; s++) row[s] = 0;
+    }
+    memset(aux, 0, (size_t)nb * 3 * S * sizeof(uint32_t));
+    std::vector<uint8_t> fill((size_t)nb, 0);
+    long nl = 0;
+    const uint32_t M24 = 0xFFFFFFu;
+    static const uint32_t RC[3] = {0x9E3779B9u, 0x85EBCA6Bu, 0xC2B2AE35u};
+    for (long i = 0; i < n; i++) {
+        uint32_t L = hi[i] & M24, R = lo[i] & M24;
+        for (int r = 0; r < 3; r++) {
+            uint32_t F = fmix32(R ^ (salt ^ RC[r])) & M24;
+            uint32_t nL = R, nR = L ^ F;
+            L = nL; R = nR;
+        }
+        uint32_t bucket, tag;
+        if (bits <= 24) {
+            bucket = R & ((1u << bits) - 1u);
+            tag = (L << (24 - bits)) | (R >> bits);
+        } else {
+            bucket = ((L & ((1u << (bits - 24)) - 1u)) << 24) | R;
+            tag = L >> (bits - 24);
+        }
+        uint32_t *row = packed + (long)bucket * 2 * S;
+        int c = fill[bucket];
+        for (int s = 0; s < c; s++)
+            if (row[s] == tag) return -1;  // duplicate key
+        if (c < S) {
+            row[c] = tag;
+            row[S + c] = ((v0[i] >> 16) << 16) | (v1[i] & 0xFFFFu);
+            uint32_t *arow = aux + (long)bucket * 3 * S;
+            arow[c] = v0[i]; arow[S + c] = v1[i]; arow[2 * S + c] = v2[i];
+            fill[bucket] = (uint8_t)(c + 1);
+        } else {
+            leftover[nl++] = i;
+        }
+    }
+    return nl;
+}
+
 }  // extern "C"

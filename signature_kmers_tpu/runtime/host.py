@@ -81,6 +81,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.skt_build_wide.restype = ctypes.c_long
+        lib.skt_build_wide.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.skt_cpu_baseline.restype = ctypes.c_long
         lib.skt_cpu_baseline.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
@@ -183,6 +190,32 @@ def build_cuckoo(hi, lo, v0, v1, v2, n_buckets: int, salt: int,
     if rc != 0:
         return None
     return khi, klo, fv0, fv1, fv2
+
+
+def build_wide_place(hi, lo, v0, v1, v2, bits: int, salt: int, slots: int):
+    """Native wide tagged-bucket placement (single pass; byte-identical to
+    the numpy fallback in table/wide_table.py).
+
+    Returns (packed, aux, leftover_indices); raises ValueError on a
+    duplicate key."""
+    lib = _load()
+    hi = np.ascontiguousarray(hi, dtype=np.uint32)
+    lo = np.ascontiguousarray(lo, dtype=np.uint32)
+    v0 = np.ascontiguousarray(v0, dtype=np.uint32)
+    v1 = np.ascontiguousarray(v1, dtype=np.uint32)
+    v2 = np.ascontiguousarray(v2, dtype=np.uint32)
+    n = hi.shape[0]
+    nb = 1 << bits
+    packed = np.empty((nb, 2 * slots), np.uint32)
+    aux = np.empty((nb, 3 * slots), np.uint32)
+    leftover = np.empty(max(n, 1), np.int64)
+    nl = lib.skt_build_wide(
+        _ptr(hi), _ptr(lo), _ptr(v0), _ptr(v1), _ptr(v2),
+        n, bits, np.uint32(salt), slots,
+        _ptr(packed), _ptr(aux), _ptr(leftover))
+    if nl < 0:
+        raise ValueError("duplicate k-mer keys in table build input")
+    return packed, aux, leftover[:nl].copy()
 
 
 def run_best_call(call_fI, call_count, call_off, is_multipart, lex_rank,

@@ -216,3 +216,32 @@ class TestCallerParity:
                     for c in ra.calls] == \
                    [(c.start, c.end, c.count, c.function_index)
                     for c in rb.calls]
+
+
+class TestNativeBuild:
+    def test_native_matches_numpy_placement(self):
+        from signature_kmers_tpu.runtime import host
+        from signature_kmers_tpu.table import wide_table as wt
+
+        if not host.available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(8)
+        hi, lo = random_keys(rng, 30000)
+        n = hi.shape[0]
+        v0, v1, v2 = random_values(rng, n)
+        for bits, S in ((17, 2), (18, 1), (20, 4)):
+            a = host.build_wide_place(hi, lo, v0, v1, v2, bits, 0x5EED, S)
+            b = wt._place_tagged_np(hi, lo, v0, v1, v2, bits, 0x5EED, S)
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])
+            np.testing.assert_array_equal(a[2], b[2])
+
+    def test_duplicate_detection(self):
+        rng = np.random.default_rng(9)
+        hi, lo = random_keys(rng, 5000)
+        hi = np.concatenate([hi, hi[:1]])
+        lo = np.concatenate([lo, lo[:1]])
+        n = hi.shape[0]
+        v = np.zeros(n, np.uint32)
+        with pytest.raises(ValueError, match="duplicate"):
+            WideKmerTable.build(hi, lo, v, v, v)
