@@ -15,6 +15,8 @@ Endpoints (surface modeled on kser_request.cc:273-489):
   POST /add                   -> final.kmers lines; extend the live table
   POST /mapping/<key>/add     -> build/extend a named auxiliary k-mer table
   POST /mapping/<key>/lookup  -> FASTA body; probe a named mapping
+  POST /mapping/<key>/matrix  -> FASTA body; shared-k-mer pair counts
+                                 against a named mapping
   POST /lookup                -> FASTA body; per-k-mer hit dump per sequence
   POST /query                 -> FASTA body; call TSV (id function index score)
   POST /fq_lookup             -> FASTQ body; six-frame translated calls
@@ -256,6 +258,47 @@ class AnnotationService:
                           f"{int(r0[p]) >> 16}\t{int(r0[p]) & 0xFFFF}\n")
         return out.getvalue()
 
+    def mapping_matrix_text(self, key: str, body: bytes) -> str:
+        """Keyed distance: pairs of query sequences sharing k-mers of the
+        named mapping (ref: keyed MatrixRequest dispatch,
+        kser_request.cc:444-489).  Output rows 'id1 id2 count score' with
+        score = count/(len1+len2) (matrix_distance.h:152-168).  No
+        protein-length filter: keyed mappings carry no length statistics.
+        """
+        from ..core import alphabet
+        from ..golden.call import valid_call_windows
+
+        import numpy as np
+
+        t = self.mappings.get(key)
+        if t is None:
+            return ""
+        batch = fasta_io.SequenceBatch.from_records(fasta_io.iter_fasta(body))
+        kmer_seqs: dict[tuple[int, int], set[int]] = {}
+        lens = []
+        for i in range(len(batch)):
+            codes = batch.codes[batch.offsets[i]:batch.offsets[i + 1]]
+            lens.append(codes.shape[0])
+            hi, lo = alphabet.pack_codes_np(codes)
+            ok = valid_call_windows(codes)
+            found, _, _, _ = t.lookup_np(hi, lo)
+            found &= ok
+            for p in np.nonzero(found)[0]:
+                kmer_seqs.setdefault((int(hi[p]), int(lo[p])),
+                                     set()).add(i)
+        pairs: dict[tuple[int, int], int] = {}
+        for seqs in kmer_seqs.values():
+            ss = sorted(seqs)
+            for a in range(len(ss)):
+                for b in range(a + 1, len(ss)):
+                    pairs[(ss[a], ss[b])] = pairs.get((ss[a], ss[b]), 0) + 1
+        out = io.StringIO()
+        for (a, b), count in sorted(pairs.items()):
+            score = count / (lens[a] + lens[b])
+            out.write(f"{batch.ids[a]}\t{batch.ids[b]}\t{count}\t"
+                      f"{formats.cxx_num(score)}\n")
+        return out.getvalue()
+
     def dump_mapping_text(self) -> str:
         """ref endpoint: GET /dump_mapping (kser_request.cc:273-412)."""
         return "".join(f"{k}\t{t.n_items}\n"
@@ -320,11 +363,12 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
                 text = service.checkpoint_text()
         elif method == "POST" and path.startswith("/mapping/"):
             parts = path.split("/")
-            if len(parts) == 4 and parts[3] in ("add", "lookup"):
+            if len(parts) == 4 and parts[3] in ("add", "lookup", "matrix"):
                 key, op = parts[2], parts[3]
                 async with service._lock:
-                    fn = (service.mapping_add_text if op == "add"
-                          else service.mapping_lookup_text)
+                    fn = {"add": service.mapping_add_text,
+                          "lookup": service.mapping_lookup_text,
+                          "matrix": service.mapping_matrix_text}[op]
                     text = await asyncio.get_event_loop().run_in_executor(
                         None, fn, key, body)
             else:

@@ -156,6 +156,16 @@ class TestServiceMappings:
         assert len(lines) == 1
         assert lines[0] == "s1\t2\t11\t5"
         assert svc.mapping_lookup_text("missing", b">s\nMKLV\n") == ""
+        # keyed matrix: s1/s2 share both mapping k-mers, s3 shares none
+        m = svc.mapping_matrix_text(
+            "fam1",
+            b">s1\nAAWWWWYYYYMMMMKKKK\n>s2\nWWWWYYYYCCMMMMKKKK\n>s3\nACDEFGHIKL\n")
+        lines = m.splitlines()
+        assert len(lines) == 1
+        f = lines[0].split("\t")
+        assert f[:3] == ["s1", "s2", "2"]
+        assert abs(float(f[3]) - 2 / (18 + 18)) < 1e-6
+        assert svc.mapping_matrix_text("missing", b">s\nMKLV\n") == ""
         # checkpoint round trip
         n = svc.table.n_items
         svc.add_text(b"CCCCHHHH\t1\t2\t\n")
