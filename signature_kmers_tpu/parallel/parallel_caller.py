@@ -1,13 +1,14 @@
 """Multi-device function caller: dp-sharded queries x tp-sharded table.
 
-The full fused call step (device padding -> k-mer pack -> bucket probe ->
+The full fused call step (device padding -> k-mer pack -> table probe ->
 scan automaton) runs under shard_map on a (dp, tp) mesh:
 
 - query batches are sharded across dp (each shard processes its rows
   end-to-end — the automaton is per-sequence, so no cross-shard state);
-- the bucketed table is sharded across tp by key owner
-  (parallel/sharded_table.py); every tp shard probes its sub-table and
-  the results combine with a psum (exactly one shard can hit a key);
+- the table is sharded across tp by key owner; every tp shard probes its
+  sub-table and the results combine with a psum (exactly one shard can
+  hit a key).  Both production layouts shard (ShardedWideTable /
+  ShardedBucketTable below);
 - host-side scoring reuses FunctionCaller's finalize (find_best_call).
 
 This is the in-process, collective replacement for the reference's
@@ -23,7 +24,15 @@ from ..core.config import CallConfig, DeviceConfig
 from ..io import fasta as fasta_io
 from ..models.function_caller import FunctionCaller
 from ..table.bucket_table import BucketKmerTable
+from ..table.wide_table import WideKmerTable
 from . import mesh as mesh_mod
+
+
+def _shard_owner(hi, lo, n_shards: int):
+    from ..ops import hashing
+
+    bits = n_shards.bit_length() - 1
+    return hashing.hash_kmer(hi, lo) >> np.uint32(32 - bits)
 
 
 class ShardedBucketTable:
@@ -86,6 +95,138 @@ class ShardedBucketTable:
             np.asarray([t.salt for t in parts], dtype=np.uint32),
             int(hi.shape[0]))
 
+    # -- uniform sharded-probe interface ------------------------------------
+
+    def arrays(self):
+        return (self.packed, self.salts)
+
+    def in_specs(self, P):
+        return (P("tp", None, None), P("tp"))
+
+    def probe(self, tabs, whi, wlo):
+        from ..ops import probe as probe_ops
+
+        tpacked, tsalt = tabs
+        return probe_ops.probe_bucket(tpacked[0], whi, wlo, tsalt[0], None)
+
+
+class ShardedWideTable:
+    """Per-shard WideKmerTables stacked for shard_map (production layout).
+
+    Shards share static (bits, ov_bits, slot widths) so the per-shard
+    arrays stack; salts vary per shard.  Overflow stores are forced to a
+    common (ov_bits, max-occupancy-across-shards) shape."""
+
+    def __init__(self, packed, ov_packed, salts, ov_salts,
+                 bits: int, ov_bits: int, n_items: int, ov_any: bool):
+        self.packed = packed        # (tp, nb, 2*S)
+        self.ov_packed = ov_packed  # (tp, nbo, 2*So)
+        self.salts = salts          # (tp,) uint32
+        self.ov_salts = ov_salts    # (tp,) uint32
+        self.bits = bits
+        self.ov_bits = ov_bits
+        self.n_items = n_items
+        self.ov_any = ov_any
+
+    @property
+    def n_shards(self):
+        return int(self.packed.shape[0])
+
+    @staticmethod
+    def from_table(table: WideKmerTable, n_shards: int) -> "ShardedWideTable":
+        assert n_shards & (n_shards - 1) == 0
+        if n_shards == 1:
+            return ShardedWideTable(
+                table.packed[None], table.ov_packed[None],
+                np.asarray([table.salt], np.uint32),
+                np.asarray([table.ov_salt], np.uint32),
+                table.bits, table.ov_bits, table.n_items,
+                table.ov_items > 0)
+        from ..ops import hashing
+        from ..table import wide_table as wt
+
+        hi, lo, v0, v1, v2 = table.occupied()
+        owner = _shard_owner(hi, lo, n_shards)
+        counts = np.bincount(owner, minlength=n_shards)
+        cfg = wt.WideTableConfig()
+        S = cfg.slots
+        want = int(int(counts.max()) / (S * cfg.main_load)) + 1
+        bits = max(cfg.min_bits, hashing.next_pow2(want).bit_length() - 1)
+
+        mains, leftovers = [], []
+        for s in range(n_shards):
+            m = owner == s
+            packed_s, _aux, lx = wt._place_tagged(
+                hi[m], lo[m], v0[m], v1[m], v2[m], bits, wt._SALT_BASE, S)
+            mains.append(packed_s)
+            leftovers.append((hi[m][lx], lo[m][lx], v0[m][lx],
+                              v1[m][lx], v2[m][lx]))
+        salts = np.full(n_shards, wt._SALT_BASE, dtype=np.uint32)
+
+        nmax = max(l[0].shape[0] for l in leftovers)
+        ov_any = nmax > 0
+        if not ov_any:
+            ovs = [np.full((1, 2), wt.EMPTY, np.uint32)] * n_shards
+            ov_salts = np.full(n_shards, wt._SALT_BASE, dtype=np.uint32)
+            ov_bits = 16
+        else:
+            ov_bits = max(16, int(np.ceil(np.log2(
+                max(nmax / wt._OV_LAMBDA, 1)))))
+            chosen = []
+            for l in leftovers:
+                r = wt.leaf_salt(l[0], l[1], ov_bits) if l[0].shape[0] \
+                    else (wt._SALT_BASE, 1)
+                if r is None:  # sentinel collision on every salt: widen
+                    ov_bits += 1
+                    return ShardedWideTable._with_leaves(
+                        mains, salts, leftovers, bits, ov_bits,
+                        int(hi.shape[0]))
+                chosen.append(r)
+            S_ov = max(1, max(mx for _, mx in chosen))
+            ovs = []
+            for (l, (salt_s, _mx)) in zip(leftovers, chosen):
+                p, _a, rest = wt._place_tagged(*l, ov_bits, salt_s, S_ov)
+                assert rest.shape[0] == 0
+                ovs.append(p)
+            ov_salts = np.asarray([s for s, _ in chosen], dtype=np.uint32)
+        return ShardedWideTable(np.stack(mains), np.stack(ovs), salts,
+                                ov_salts, bits, ov_bits, int(hi.shape[0]),
+                                ov_any)
+
+    @staticmethod
+    def _with_leaves(mains, salts, leftovers, bits, ov_bits, n_items):
+        from ..table import wide_table as wt
+
+        chosen = [wt.leaf_salt(l[0], l[1], ov_bits)
+                  if l[0].shape[0] else (wt._SALT_BASE, 1)
+                  for l in leftovers]
+        S_ov = max(1, max(mx for _, mx in chosen))
+        ovs = []
+        for (l, (salt_s, _mx)) in zip(leftovers, chosen):
+            p, _a, rest = wt._place_tagged(*l, ov_bits, salt_s, S_ov)
+            assert rest.shape[0] == 0
+            ovs.append(p)
+        return ShardedWideTable(
+            np.stack(mains), np.stack(ovs), salts,
+            np.asarray([s for s, _ in chosen], dtype=np.uint32),
+            bits, ov_bits, n_items, True)
+
+    # -- uniform sharded-probe interface ------------------------------------
+
+    def arrays(self):
+        return (self.packed, self.ov_packed, self.salts, self.ov_salts)
+
+    def in_specs(self, P):
+        return (P("tp", None, None), P("tp", None, None), P("tp"), P("tp"))
+
+    def probe(self, tabs, whi, wlo):
+        from ..ops import probe as probe_ops
+
+        packed, ovp, salts, ov_salts = tabs
+        return probe_ops.probe_wide(
+            packed[0], ovp[0], whi, wlo, salts[0], ov_salts[0],
+            self.bits, self.ov_bits, ov_empty=not self.ov_any)
+
 
 class ParallelFunctionCaller(FunctionCaller):
     """FunctionCaller whose fused device step runs over a (dp, tp) mesh."""
@@ -99,7 +240,10 @@ class ParallelFunctionCaller(FunctionCaller):
         self.mesh = mesh if mesh is not None else mesh_mod.make_mesh()
         self.ndp = mesh_mod.dp_size(self.mesh)
         self.ntp = mesh_mod.tp_size(self.mesh)
-        self.stable = ShardedBucketTable.from_table(table, self.ntp)
+        if isinstance(table, WideKmerTable):
+            self.stable = ShardedWideTable.from_table(table, self.ntp)
+        else:
+            self.stable = ShardedBucketTable.from_table(table, self.ntp)
         self._pjit = {}
 
     def _parallel_fn(self, L: int, F: int):
@@ -118,16 +262,19 @@ class ParallelFunctionCaller(FunctionCaller):
             ignore_hypo = cfg.ignore_hypothetical
             ntp = self.ntp
             rows = self.device_config.call_batch  # rows per dp shard
+            stable = self.stable
+            n_tab = len(stable.arrays())
 
-            def shard_fn(tpacked, tsalt, flat_l, off_l):
-                # tpacked: (1, nb, 3*slots) local tp shard; tsalt: (1,)
+            def shard_fn(*args):
+                # args[:n_tab]: local tp shard of the table arrays
                 # flat_l: (1, F); off_l: (1, rows+1)
+                tabs = args[:n_tab]
+                flat_l, off_l = args[n_tab:]
                 codes, lengths = kmer_pack.expand_flat(
                     flat_l[0], off_l[0], L)
                 whi, wlo, call_valid = kmer_pack.pack_call_windows(
                     codes, lengths)
-                found, fm = probe_ops.probe_bucket(
-                    tpacked[0], whi, wlo, tsalt[0], None)
+                found, fm = stable.probe(tabs, whi, wlo)
                 if ntp > 1:
                     found_i = jax.lax.psum(found.astype(jnp.uint32), "tp")
                     fm = jax.lax.psum(jnp.where(found, fm, 0), "tp")
@@ -152,7 +299,7 @@ class ParallelFunctionCaller(FunctionCaller):
 
             fn = shard_map(
                 shard_fn, mesh=self.mesh,
-                in_specs=(P("tp", None, None), P("tp"), P("dp", None),
+                in_specs=(*stable.in_specs(P), P("dp", None),
                           P("dp", None)),
                 out_specs=P("dp", None, None),
             )
@@ -201,8 +348,7 @@ class ParallelFunctionCaller(FunctionCaller):
                 flats.append(flat)
                 offs.append(off)
             fn = self._parallel_fn(L, F)
-            out = fn(jnp.asarray(self.stable.packed),
-                     jnp.asarray(self.stable.salts),
+            out = fn(*(jnp.asarray(a) for a in self.stable.arrays()),
                      jnp.asarray(np.stack(flats)),
                      jnp.asarray(np.stack(offs)))
             pending.append((subs, out))

@@ -169,6 +169,24 @@ def _occupied_tagged(packed, aux, salt: int, bits: int):
             a[b_idx, 2, s_idx])
 
 
+def leaf_salt(hi, lo, bits: int):
+    """Best overflow salt at a fixed bucket count: (salt, max_occupancy),
+    or None when every candidate salt has a sentinel-tag collision
+    (possible only at bits == 16)."""
+    best = None
+    for attempt in range(6):
+        salt = (_SALT_BASE ^ 0x00F1_F0F0) + attempt * _SALT_STEP
+        L, R = hashing.perm48(hi, lo, salt)
+        bucket, tag = hashing.wide_bucket_tag(L, R, bits)
+        if bits == 16 and bool((tag == EMPTY).any()):
+            continue  # sentinel collision: tag uses all 32 bits here
+        mx = int(np.bincount(bucket.astype(np.int64),
+                             minlength=1 << bits).max())
+        if best is None or mx < best[1]:
+            best = (salt, mx)
+    return best
+
+
 def _build_leaf(hi, lo, v0, v1, v2):
     """Overflow store: tagged single-hash rows wide enough that EVERY key
     fits its bucket (slot count = observed max occupancy; data-driven, no
@@ -182,14 +200,9 @@ def _build_leaf(hi, lo, v0, v1, v2):
     # more buckets trims the occupancy tail but rarely pays for itself
     best = None  # (bytes, salt, bits, S)
     for bits in range(bits0, min(bits0 + 3, 31)):
-        for attempt in range(6):
-            salt = (_SALT_BASE ^ 0x00F1_F0F0) + attempt * _SALT_STEP
-            L, R = hashing.perm48(hi, lo, salt)
-            bucket, tag = hashing.wide_bucket_tag(L, R, bits)
-            if bits == 16 and bool((tag == EMPTY).any()):
-                continue  # sentinel collision: tag uses all 32 bits here
-            mx = int(np.bincount(bucket.astype(np.int64),
-                                 minlength=1 << bits).max())
+        r = leaf_salt(hi, lo, bits)
+        if r is not None:
+            salt, mx = r
             size = (1 << bits) * 8 * mx
             if best is None or size < best[0]:
                 best = (size, salt, bits, mx)

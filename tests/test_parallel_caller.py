@@ -79,3 +79,52 @@ class TestParallelCaller:
         got = pc.call_batch(batch)
         want = sc.call_batch(batch)
         assert [g.best for g in got] == [w.best for w in want]
+
+
+class TestShardedWideTable:
+    def test_shard_probe_covers_all_keys(self, built):
+        import jax
+        import jax.numpy as jnp
+
+        from signature_kmers_tpu.parallel.parallel_caller import \
+            ShardedWideTable
+        from signature_kmers_tpu.table.wide_table import WideKmerTable
+
+        _, table, _ = built
+        assert isinstance(table, WideKmerTable)
+        st = ShardedWideTable.from_table(table, 2)
+        hi, lo, v0, v1, v2 = table.occupied()
+        exp_fm = ((v0 >> 16) << 16) | (v1 & 0xFFFF)
+        hits = np.zeros(hi.shape[0], dtype=int)
+        fm_seen = np.zeros(hi.shape[0], dtype=np.uint32)
+        probe = jax.jit(lambda *a: st.probe(a[:4], a[4], a[5]))
+        for s in range(st.n_shards):
+            f, fm = probe(jnp.asarray(st.packed[s:s + 1]),
+                          jnp.asarray(st.ov_packed[s:s + 1]),
+                          jnp.asarray(st.salts[s:s + 1]),
+                          jnp.asarray(st.ov_salts[s:s + 1]),
+                          jnp.asarray(hi), jnp.asarray(lo))
+            f = np.asarray(f)
+            hits += f.astype(int)
+            fm_seen = np.where(f, np.asarray(fm), fm_seen)
+        np.testing.assert_array_equal(hits, np.ones_like(hits))
+        np.testing.assert_array_equal(fm_seen, exp_fm)
+
+
+class TestParallelCallerCuckoo:
+    def test_matches_single_device_cuckoo_layout(self, built):
+        from signature_kmers_tpu.table.bucket_table import BucketKmerTable
+
+        root, table, funcs = built
+        ctable = BucketKmerTable.build(*table.occupied())
+        mesh = mesh_mod.make_mesh(8)
+        dc = DeviceConfig(call_batch=16)
+        pc = ParallelFunctionCaller(ctable, funcs, device_config=dc,
+                                    mesh=mesh)
+        sc = FunctionCaller(ctable, funcs, device_config=dc)
+        batch = fasta.SequenceBatch.from_file(root / "Queries" / "queries.fa")
+        got = pc.call_batch(batch)
+        want = sc.call_batch(batch)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.seq_id == w.seq_id and g.best == w.best
