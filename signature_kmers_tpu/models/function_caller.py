@@ -108,9 +108,9 @@ class FunctionCaller:
                 import jax.numpy as jnp
 
                 table_arrays = args[:n_tab]
-                codes_u6, offsets = args[n_tab:]
-                flat_codes = kmer_pack.unpack_u6(codes_u6)
-                codes, lengths = kmer_pack.expand_flat(flat_codes, offsets, L)
+                packed_rows, start_row, lengths = args[n_tab:]
+                codes = kmer_pack.expand_rows16(packed_rows, start_row,
+                                                lengths, L)
                 whi, wlo, call_valid = kmer_pack.pack_call_windows(
                     codes, lengths)
                 found, fm = pfn(*table_arrays, whi, wlo)
@@ -153,23 +153,15 @@ class FunctionCaller:
         L = 128
         while L < nat:
             L += 128
-        # flat codes padded to a geometric bucket (powers of two and
-        # 1.5x-steps: <=33% padding, ~2x the compile shapes of pure pow2),
-        # then 6-bit packed (4 codes -> 3 bytes); offsets padded to a fixed
+        # codes go up 6-bit packed in 16-code-aligned 12B rows (device
+        # expands them with cheap ROW gathers; see pack_u6_rows_host),
+        # row count on a pow2/1.5x grid and start_row/lengths at a fixed
         # row count -> few distinct compile shapes, minimal H2D bytes
-        total = int(sub.codes.shape[0])
-        fsize = 1 << 14
-        while fsize < total:
-            fsize <<= 1
-        if fsize > (1 << 14) and (fsize >> 1) + (fsize >> 2) >= total:
-            fsize = (fsize >> 1) + (fsize >> 2)
-        flat = np.full(fsize, alphabet.INVALID_CODE, dtype=np.uint8)
-        flat[:total] = sub.codes
-        offs = np.full(rows + 1, total, dtype=np.int32)
-        offs[:len(sub) + 1] = sub.offsets
+        packed_rows, start_row, lengths = kmer_pack.pack_u6_rows_host(
+            sub.codes, sub.offsets, rows, L)
         f, arrays = self._full_device_fn(L)
-        out = f(*arrays, jnp.asarray(kmer_pack.pack_u6_host(flat)),
-                jnp.asarray(offs))
+        out = f(*arrays, jnp.asarray(packed_rows),
+                jnp.asarray(start_row), jnp.asarray(lengths))
         return out
 
     def _function_meta(self):

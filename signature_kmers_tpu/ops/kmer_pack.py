@@ -162,6 +162,69 @@ def unpack_u6(packed):
     return c.reshape(-1).astype(jnp.uint8)
 
 
+ALIGN = 16  # codes per transfer row: 16 codes = 12 packed-u6 bytes
+
+
+def pack_u6_rows_host(codes: np.ndarray, offsets: np.ndarray, rows: int,
+                      L: int):
+    """Host: concatenated codes + offsets -> 16-code-aligned packed rows.
+
+    Each sequence's codes start on a 16-code boundary (INVALID padding in
+    between), 6-bit packed into 12-byte rows, so the device can expand
+    the batch with ROW gathers instead of per-element gathers: element
+    gathers are transaction-quantized like row gathers on TPU (~10ns
+    each; docs/PERF.md), which made the old flat expand_flat cost ~15ms
+    per 4096x384 chunk vs ~1ms for this layout.
+
+    Returns (packed_rows (R, 12) uint8, start_row (rows,) int32,
+    lengths (rows,) int32); R is padded to a pow2/1.5x grid so jit
+    compiles once per grid step.  start_row of padding rows points at a
+    dedicated all-INVALID row.
+    """
+    B = offsets.shape[0] - 1
+    lens = np.minimum((offsets[1:] - offsets[:-1]), L).astype(np.int32)
+    spans = -(-lens // ALIGN)  # 16-code rows per sequence
+    row_start = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(spans, out=row_start[1:])
+    total_rows = int(row_start[-1]) + 1  # +1 all-INVALID row for padding
+    R = 1 << 10
+    while R < total_rows:
+        R <<= 1
+    if R > (1 << 10) and (R >> 1) + (R >> 2) >= total_rows:
+        R = (R >> 1) + (R >> 2)
+    flat = np.full(R * ALIGN, alphabet.INVALID_CODE, dtype=np.uint8)
+    for b in range(B):
+        s = int(offsets[b])
+        d = int(row_start[b]) * ALIGN
+        flat[d:d + int(lens[b])] = codes[s:s + int(lens[b])]
+    packed = pack_u6_host(flat).reshape(R, 12)
+    start_row = np.full(rows, total_rows - 1, dtype=np.int32)
+    start_row[:B] = row_start[:-1]
+    lengths = np.zeros(rows, dtype=np.int32)
+    lengths[:B] = lens
+    return packed, start_row, lengths
+
+
+def expand_rows16(packed_rows, start_row, lengths, L: int):
+    """Device inverse of pack_u6_rows_host: row-gather + 6-bit unpack.
+
+    packed_rows: (R, 12) uint8; start_row: (B,); lengths: (B,).
+    -> (B, L) uint8 codes (INVALID beyond each length, exactly like
+    expand_flat) with L % 16 == 0.
+    """
+    nrow = L // ALIGN
+    idx = start_row[:, None] + jnp.arange(nrow, dtype=jnp.int32)[None, :]
+    rows = packed_rows[jnp.clip(idx, 0, packed_rows.shape[0] - 1)]
+    b = rows.astype(jnp.uint32)  # (B, nrow, 12)
+    w = (b[..., 0::3] << 16) | (b[..., 1::3] << 8) | b[..., 2::3]
+    c = jnp.stack([(w >> 18) & 63, (w >> 12) & 63, (w >> 6) & 63, w & 63],
+                  axis=-1)  # (B, nrow, 4, 4)
+    codes = c.reshape(c.shape[0], nrow * ALIGN).astype(jnp.uint8)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return jnp.where(pos < lengths[:, None], codes,
+                     jnp.uint8(alphabet.INVALID_CODE))
+
+
 def expand_flat(flat_codes, offsets, L: int):
     """Device-side padding: flat concatenated codes + offsets -> (B, L)
     matrix padded with INVALID_CODE, plus lengths.  Keeps the host->device

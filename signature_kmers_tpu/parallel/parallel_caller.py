@@ -267,11 +267,12 @@ class ParallelFunctionCaller(FunctionCaller):
 
             def shard_fn(*args):
                 # args[:n_tab]: local tp shard of the table arrays
-                # flat_l: (1, F); off_l: (1, rows+1)
+                # rows_l: (1, R, 12); start_l/lens_l: (1, rows)
                 tabs = args[:n_tab]
-                flat_l, off_l = args[n_tab:]
-                codes, lengths = kmer_pack.expand_flat(
-                    flat_l[0], off_l[0], L)
+                rows_l, start_l, lens_l = args[n_tab:]
+                lengths = lens_l[0]
+                codes = kmer_pack.expand_rows16(rows_l[0], start_l[0],
+                                                lengths, L)
                 whi, wlo, call_valid = kmer_pack.pack_call_windows(
                     codes, lengths)
                 found, fm = stable.probe(tabs, whi, wlo)
@@ -299,8 +300,8 @@ class ParallelFunctionCaller(FunctionCaller):
 
             fn = shard_map(
                 shard_fn, mesh=self.mesh,
-                in_specs=(*stable.in_specs(P), P("dp", None),
-                          P("dp", None)),
+                in_specs=(*stable.in_specs(P), P("dp", None, None),
+                          P("dp", None), P("dp", None)),
                 out_specs=P("dp", None, None),
             )
             self._pjit[key] = jax.jit(fn)
@@ -336,21 +337,23 @@ class ParallelFunctionCaller(FunctionCaller):
                 if len(sub):
                     Lmax = max(Lmax, int(sub.lengths.max()))
             L = -(-Lmax // 128) * 128
-            F = 1 << 14
-            for sub in subs:
-                while F < max(1, sub.codes.shape[0]):
-                    F <<= 1
-            for sub in subs:
-                flat = np.full(F, alphabet.INVALID_CODE, dtype=np.uint8)
-                flat[:sub.codes.shape[0]] = sub.codes
-                off = np.full(rows + 1, sub.codes.shape[0], dtype=np.int32)
-                off[:len(sub) + 1] = sub.offsets
-                flats.append(flat)
-                offs.append(off)
-            fn = self._parallel_fn(L, F)
+            from ..ops import kmer_pack
+
+            packs = [kmer_pack.pack_u6_rows_host(sub.codes, sub.offsets,
+                                                 rows, L)
+                     for sub in subs]
+            # common packed-row count across dp shards so they stack
+            R = max(p[0].shape[0] for p in packs)
+            for p, s_arr, l_arr in packs:
+                pad = np.zeros((R - p.shape[0], 12), dtype=np.uint8)
+                flats.append(np.concatenate([p, pad]) if pad.shape[0]
+                             else p)
+                offs.append((s_arr, l_arr))
+            fn = self._parallel_fn(L, R)
             out = fn(*(jnp.asarray(a) for a in self.stable.arrays()),
                      jnp.asarray(np.stack(flats)),
-                     jnp.asarray(np.stack(offs)))
+                     jnp.asarray(np.stack([o[0] for o in offs])),
+                     jnp.asarray(np.stack([o[1] for o in offs])))
             pending.append((subs, out))
         for subs, out in pending:
             m = np.asarray(out)  # (dp, rows, 29)
