@@ -20,7 +20,16 @@ annotation files — since no SEED API exists here:
   fig| ids, --id-map output, additional.funcs list (ref: :273-325);
 - --virus-dir with fasta/ and anno/ subdirectories (ref: :89-128);
 - --function-overrides appended per genome (ref: :331-351);
-- --no-strip keeps function comments (ref: default strips them).
+- --no-strip keeps function comments (ref: default strips them);
+- --phage-locations: overlapping-phage-peg exclusion — pegs sharing a
+  (contig, stop) coordinate are ribosomal-slippage products (pp1ab/pp1a);
+  all but the longest are skipped, and the skipped (fid, function) pairs
+  are printed, exactly the reference's find_overlapping_phage_pegs
+  (ref: :76-77, :361-395; locations come from a TSV here instead of the
+  SEED API);
+- --protect-subsystem-roles + --subsystem-roles: writes the sorted role
+  list to <dir>/subsystem.roles unless already present (ref: :353-359;
+  roles come from a file here instead of $fig->subsystem_roles).
 """
 
 from __future__ import annotations
@@ -83,6 +92,32 @@ def renumber_fragment_runs(items: list[tuple[str, str]]) -> list[tuple[str, str]
     return out
 
 
+_LOC_RE = re.compile(r"^(.*?)_(\d+)_(\d+)$")
+
+
+def find_overlapping_phage_pegs(rows):
+    """rows: (fid, location 'ctg_start_stop', function) triples.
+
+    Pegs sharing a (contig, stop) are slippage products; every one except
+    the longest is returned as (fid, function) to skip
+    (ref: kmers-setup-build.pl:361-395).
+    """
+    by_stop: dict[tuple[str, str], list] = {}
+    for fid, loc, fn in rows:
+        m = _LOC_RE.match(loc)
+        if not m:
+            continue
+        ctg, start, stop = m.group(1), int(m.group(2)), int(m.group(3))
+        by_stop.setdefault((ctg, m.group(3)), []).append(
+            (fid, fn, abs(stop - start)))
+    ret = []
+    for group in by_stop.values():
+        if len(group) > 1:
+            group.sort(key=lambda t: -t[2])
+            ret.extend((fid, fn) for fid, fn, _len in group[1:])
+    return ret
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="skt-setup-build",
@@ -101,6 +136,13 @@ def main(argv=None):
     p.add_argument("--no-strip", action="store_true")
     p.add_argument("--virus-dir")
     p.add_argument("--function-overrides")
+    p.add_argument("--phage-locations",
+                   help="TSV fid\\tctg_start_stop\\tfunction: exclude "
+                        "overlapping phage pegs (all but longest per stop)")
+    p.add_argument("--protect-subsystem-roles", action="store_true")
+    p.add_argument("--subsystem-roles",
+                   help="role list written to <dir>/subsystem.roles under "
+                        "--protect-subsystem-roles")
     p.add_argument("-p", "--parallel", type=int, default=1)
     args = p.parse_args(argv)
 
@@ -119,6 +161,19 @@ def main(argv=None):
         for line in Path(args.skip_pegs).read_text().splitlines():
             if line:
                 skip_pegs.add(line.split("\t")[0])
+
+    # overlapping phage pegs join the skip set; skipped pairs are printed
+    # like the reference (ref: kmers-setup-build.pl:75-77)
+    if args.phage_locations:
+        rows = []
+        for line in Path(args.phage_locations).read_text().splitlines():
+            parts = line.split("\t")
+            if len(parts) >= 2:
+                rows.append((parts[0], parts[1],
+                             parts[2] if len(parts) > 2 else ""))
+        for fid, fn in find_overlapping_phage_pegs(rows):
+            print(f"{fid}\t{fn}")
+            skip_pegs.add(fid)
 
     # genome selection
     genomes: list[str] = []
@@ -220,6 +275,18 @@ def main(argv=None):
                 print(f"Annotation file {afile} is missing", file=sys.stderr)
             with open(afile, "a") as fh:
                 fh.write("".join(line + "\n" for line in lines))
+
+    # subsystem-role protection list (ref: kmers-setup-build.pl:353-359):
+    # written once, sorted; build consumes it via --good-roles
+    if args.protect_subsystem_roles:
+        out = root / "subsystem.roles"
+        if not (out.is_file() and out.stat().st_size):
+            roles = set()
+            if args.subsystem_roles:
+                roles = {line for line in
+                         Path(args.subsystem_roles).read_text().splitlines()
+                         if line}
+            out.write_text("".join(f"{r}\n" for r in sorted(roles)))
     return 0
 
 

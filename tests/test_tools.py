@@ -172,3 +172,55 @@ class TestServiceMappings:
         assert svc.checkpoint_text() == "checkpointed\n"
         svc2 = AnnotationService(str(data_dir))
         assert svc2.table.n_items == n + 1
+
+
+class TestSetupBuildPhageAndRoles:
+    def test_overlapping_phage_pegs(self):
+        from signature_kmers_tpu.cli.setup_build import \
+            find_overlapping_phage_pegs
+
+        rows = [
+            ("fig|1.1.peg.1", "ctgA_100_900", "pp1ab"),   # longest, kept
+            ("fig|1.1.peg.2", "ctgA_400_900", "pp1a"),    # same stop, skip
+            ("fig|1.1.peg.3", "ctgA_600_900", "pp1"),     # same stop, skip
+            ("fig|1.1.peg.4", "ctgA_100_200", "capsid"),  # unique stop
+            ("fig|1.1.peg.5", "ctgB_100_900", "other"),   # other contig
+            ("fig|1.1.peg.6", "badloc", "x"),             # unparsable
+        ]
+        skipped = dict(find_overlapping_phage_pegs(rows))
+        assert skipped == {"fig|1.1.peg.2": "pp1a", "fig|1.1.peg.3": "pp1"}
+
+    def test_cli_phage_and_subsystem_roles(self, tmp_path, capsys):
+        from signature_kmers_tpu.cli.setup_build import main as sb_main
+
+        root = tmp_path / "d"
+        root.mkdir()
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "1.1").write_text(
+            ">fig|1.1.peg.1\nMKLVWWWWYYYY\n>fig|1.1.peg.2\nMKLVNNNN\n")
+        loc = tmp_path / "locs.tsv"
+        loc.write_text("fig|1.1.peg.1\tctgA_10_400\tpp1ab\n"
+                       "fig|1.1.peg.2\tctgA_100_400\tpp1a\n")
+        roles = tmp_path / "roles.txt"
+        roles.write_text("Zeta role\nAlpha role\n")
+        rc = sb_main([str(root), "--source-seqs", str(src),
+                      "--phage-locations", str(loc),
+                      "--protect-subsystem-roles",
+                      "--subsystem-roles", str(roles)])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "fig|1.1.peg.2\tpp1a" in out
+        # the overlapped peg is excluded from Seqs and Annotations
+        seqs = (root / "Seqs" / "1.1").read_text()
+        assert "peg.1" in seqs and "peg.2" not in seqs
+        anno = (root / "Annotations" / "0" / "1.1").read_text()
+        assert "peg.2" not in anno
+        assert (root / "subsystem.roles").read_text() == \
+            "Alpha role\nZeta role\n"
+        # existing non-empty file is preserved (ref: ! -s check)
+        (root / "subsystem.roles").write_text("Keep me\n")
+        sb_main([str(root), "--source-seqs", str(src),
+                 "--protect-subsystem-roles",
+                 "--subsystem-roles", str(roles)])
+        assert (root / "subsystem.roles").read_text() == "Keep me\n"
