@@ -208,6 +208,12 @@ def _add_matrix(sub):
     p.add_argument("--min-hits", type=int, default=3)  # parsed, unused (as in ref)
     p.add_argument("-j", "--n-threads", type=int, default=1)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--natural-breaks", type=int, metavar="K",
+                   help="classify pair scores into K Jenks-Fisher classes: "
+                        "adds score+class columns, prints break values to "
+                        "stderr (the reference vendored the algorithm for "
+                        "this but never wired it: calc_natural_breaks.h, "
+                        "kmers-matrix-distance.cc:6,27)")
     p.set_defaults(func=cmd_matrix)
 
 
@@ -219,8 +225,25 @@ def cmd_matrix(args):
     res = md.compute([batch])
     out = open(args.output_file, "w") if args.output_file else sys.stdout
     try:
-        for s1, s2, count in res.rows(with_score=False):
-            out.write(f"{s1}\t{s2}\t{count}\n")
+        if args.natural_breaks:
+            from ..stats.natural_breaks import classify_jenks_fisher
+
+            rows = list(res.rows(with_score=True))
+            breaks = classify_jenks_fisher(
+                [score for _s1, _s2, _c, score in rows],
+                args.natural_breaks) if rows else []
+            print("natural breaks: "
+                  + " ".join(formats.cxx_num(b) for b in breaks),
+                  file=sys.stderr)
+            import bisect
+
+            for s1, s2, count, score in rows:
+                cls = max(bisect.bisect_right(breaks, score) - 1, 0)
+                out.write(f"{s1}\t{s2}\t{count}\t"
+                          f"{formats.cxx_num(score)}\t{cls}\n")
+        else:
+            for s1, s2, count in res.rows(with_score=False):
+                out.write(f"{s1}\t{s2}\t{count}\n")
     finally:
         if out is not sys.stdout:
             out.close()
@@ -306,12 +329,37 @@ def _add_serve(sub):
     p.add_argument("-d", "--data-dir", required=True)
     p.add_argument("--port", type=int, default=6100)
     p.add_argument("--host", default="127.0.0.1")
+    # daemon plumbing mirrors the reference server options
+    # (ref: kmers-server.cc:44-46 --daemonize/--pid-file; :58,265-269
+    # --no-listen "For profiling": load everything, don't serve)
+    p.add_argument("--daemonize", action="store_true")
+    p.add_argument("--pid-file")
+    p.add_argument("--no-listen", action="store_true",
+                   help="load the data dir and exit (profiling)")
     p.set_defaults(func=cmd_serve)
 
 
 def cmd_serve(args):
-    from ..service.server import serve
+    import os
 
+    from ..service.server import AnnotationService, serve
+
+    if args.no_listen:
+        svc = AnnotationService(args.data_dir)
+        print(f"loaded {svc.table.n_items} kmers; not listening",
+              file=sys.stderr)
+        return 0
+    if args.daemonize:
+        if os.fork():
+            return 0
+        os.setsid()
+        if os.fork():
+            os._exit(0)
+        devnull = os.open(os.devnull, os.O_RDWR)
+        for fd in (0, 1, 2):
+            os.dup2(devnull, fd)
+    if args.pid_file:
+        Path(args.pid_file).write_text(f"{os.getpid()}\n")
     serve(args.data_dir, host=args.host, port=args.port)
     return 0
 

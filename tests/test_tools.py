@@ -224,3 +224,35 @@ class TestSetupBuildPhageAndRoles:
                  "--protect-subsystem-roles",
                  "--subsystem-roles", str(roles)])
         assert (root / "subsystem.roles").read_text() == "Keep me\n"
+
+
+class TestMatrixNaturalBreaks:
+    def test_cli_natural_breaks_classes(self, data_dir, tmp_path, capsys):
+        from signature_kmers_tpu.cli.main import main as cli_main
+        from tests.fixtures.gen_corpus import FUNCTIONS, _rand_prot
+        import random
+
+        r = random.Random(20240817)
+        cores = {fn: _rand_prot(r, 220) for fn in FUNCTIONS}
+        rm = random.Random(7)
+        q = tmp_path / "q.fa"
+        with open(q, "w") as f:
+            i = 0
+            for fn in list(FUNCTIONS)[:2]:
+                for _v in range(3):
+                    s = list(cores[fn])
+                    for _ in range(4):
+                        s[rm.randrange(len(s))] = rm.choice(
+                            "ACDEFGHIKLMNPQRSTVWY")
+                    f.write(f">m{i}\n{''.join(s)}\n")
+                    i += 1
+        out = tmp_path / "d.tsv"
+        rc = cli_main(["matrix-distance", "-d", str(data_dir), "-i", str(q),
+                       "-o", str(out), "--natural-breaks", "2"])
+        assert rc == 0
+        assert "natural breaks:" in capsys.readouterr().err
+        rows = [line.split("\t")
+                for line in out.read_text().splitlines()]
+        assert rows and all(len(r) == 5 for r in rows)
+        classes = {int(r[4]) for r in rows}
+        assert classes <= {0, 1} and len(classes) == 2
