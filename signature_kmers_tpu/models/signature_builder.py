@@ -164,6 +164,47 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
             s_best, sum_d2_hi, sum_d2_lo, med_lo, med_hi, avg_from_end)
 
 
+def _select_compact_jax(hi, lo, func, off, plen, sid, threshold: float):
+    """Selection + device-side compaction for the single-device path.
+
+    Returns (n_rep, n_uniq_sids, <10 kept-representative arrays
+    compacted to the front>, uniq_sids) — the host then transfers only
+    prefixes of length n_rep / n_uniq instead of 14 full-length arrays.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    (hi1, lo1, s1, kstart, keep, best_func, _ktotal, best_count,
+     s_best, d2_hi, d2_lo, med_lo, med_hi, avg) = _select_signatures_jax(
+        hi, lo, func, off, plen, sid, threshold)
+
+    n = hi1.shape[0]
+    reps = kstart & keep
+    pos = jnp.cumsum(reps.astype(jnp.int32)) - 1
+    n_rep = reps.astype(jnp.int32).sum()
+    tgt = jnp.where(reps, pos, jnp.int32(n))  # out of bounds -> dropped
+
+    def compact(x):
+        return jnp.zeros(n, x.dtype).at[tgt].set(x, mode="drop")
+
+    outs = tuple(compact(x) for x in
+                 (hi1, lo1, best_func, best_count, s_best,
+                  d2_hi, d2_lo, med_lo, med_hi, avg))
+
+    # unique kept sequence ids (seqs_with_a_signature counter,
+    # ref: signature_build.h:44-50): sort + boundary compaction
+    big = jnp.int32(0x7FFFFFFF)
+    ks = lax.sort(jnp.where(keep, s1, big))
+    first = (ks != jnp.concatenate([jnp.full((1,), -1, ks.dtype),
+                                    ks[:-1]])) & (ks != big)
+    posu = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_uniq = first.astype(jnp.int32).sum()
+    tgtu = jnp.where(first, posu, jnp.int32(n))
+    uniq = jnp.zeros(n, ks.dtype).at[tgtu].set(ks, mode="drop")
+
+    return (n_rep, n_uniq) + outs + (uniq,)
+
+
 class SignatureBuilder:
     """End-to-end builder: metadata -> extraction -> device selection."""
 
@@ -361,27 +402,41 @@ class SignatureBuilder:
         import jax
 
         thresh = self.config.signature_threshold
-        if self.use_device:
-            sel = jax.jit(_select_signatures_jax, static_argnames=("threshold",))(
-                hi, lo, func, off, plen, sid, threshold=thresh)
-            (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
-             s_best, sum_d2_hi, sum_d2_lo, med_lo, med_hi,
-             avg_from_end) = map(np.asarray, sel)
-        else:
+        if not self.use_device:
             raise NotImplementedError("host selection path is golden/build.py")
 
-        kept_entry = np.asarray(keep)
-        reps = np.asarray(kstart) & kept_entry
-        ridx = np.nonzero(reps)[0]
+        # Device-compacted selection: only the kept representatives (and
+        # the unique kept sequence ids) come back to the host.  The full
+        # per-entry arrays are 14 x n words — transferring them measured
+        # ~1.1 GB for a 20M-window build, dominating build time on a
+        # link-attached chip.
+        sel = jax.jit(_select_compact_jax, static_argnames=("threshold",))(
+            hi, lo, func, off, plen, sid, threshold=thresh)
+        n_rep = int(sel[0])
+        n_uniq = int(sel[1])
+
+        def fetch(dev_arr, m):
+            # slice on a pow2 grid so the slice program compiles O(log n)
+            # times, then trim on the host
+            if m == 0:
+                return np.zeros(0, dev_arr.dtype)
+            g = 1024
+            while g < m:
+                g <<= 1
+            g = min(g, dev_arr.shape[0])
+            return np.asarray(dev_arr[:g])[:m]
+
+        (w_hi, w_lo, best_func, best_count, s_best, d2_hi, d2_lo,
+         med_lo, med_hi, avg_from_end) = (fetch(a, n_rep) for a in sel[2:12])
+        uniq_sids = fetch(sel[12], n_uniq)
 
         # exact int64 finalization (see FIDELITY.md)
-        n_b = best_count[ridx].astype(np.int64)
-        s_b = s_best[ridx].astype(np.int64)
-        d2 = (sum_d2_hi[ridx].astype(np.int64) << 16) \
-            + sum_d2_lo[ridx].astype(np.int64)
+        n_b = best_count.astype(np.int64)
+        s_b = s_best.astype(np.int64)
+        d2 = (d2_hi.astype(np.int64) << 16) + d2_lo.astype(np.int64)
         mean_u16 = ((s_b // n_b) & 0xFFFF).astype(np.uint16)
-        ml = med_lo[ridx].astype(np.int64)
-        mh = med_hi[ridx].astype(np.int64)
+        ml = med_lo.astype(np.int64)
+        mh = med_hi.astype(np.int64)
         median_u16 = (((ml + mh) // 2) & 0xFFFF).astype(np.uint16)
         # var = (n*sum(x^2) - s^2) / n^2 == (n*sum_d2 - r^2) / n^2 with
         # r = s mod n; exact floor in int64
@@ -389,10 +444,10 @@ class SignatureBuilder:
         var_u16 = (((n_b * d2 - r * r) // (n_b * n_b)) & 0xFFFF).astype(np.uint16)
 
         out = KeptKmerArrays(
-            hi=hi1[ridx].astype(np.uint32),
-            lo=lo1[ridx].astype(np.uint32),
-            avg_from_end=(avg_from_end[ridx] & 0xFFFF).astype(np.uint16),
-            function_index=best_func[ridx].astype(np.uint16),
+            hi=w_hi.astype(np.uint32),
+            lo=w_lo.astype(np.uint32),
+            avg_from_end=(avg_from_end & 0xFFFF).astype(np.uint16),
+            function_index=best_func.astype(np.uint16),
             mean=mean_u16,
             median=median_u16,
             var=var_u16,
@@ -402,6 +457,5 @@ class SignatureBuilder:
         bf, cnt = np.unique(out.function_index, return_counts=True)
         self.stats.distinct_functions = dict(
             zip(bf.tolist(), cnt.tolist()))
-        self.stats.seqs_with_a_signature = set(
-            np.unique(s1[kept_entry]).tolist())
+        self.stats.seqs_with_a_signature = set(uniq_sids.tolist())
         return out
