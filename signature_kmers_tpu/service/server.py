@@ -36,6 +36,75 @@ from ..models.function_caller import FunctionCaller
 from ..models.matrix_distance import MatrixDistance
 
 
+class _QueryBatcher:
+    """Coalesces concurrent POST /query bodies into shared device batches.
+
+    While one device batch is on the chip, newly arriving requests queue
+    up and are merged into the NEXT batch — many small concurrent
+    requests ride one dispatch instead of serializing (the in-process
+    replacement for the reference server's request threadpool,
+    kmer_request_server.cc:56-126, recast for a batched device)."""
+
+    def __init__(self, service: "AnnotationService"):
+        self.service = service
+        self.pending: list = []
+        self.running = False
+        self.batches_run = 0  # observability / tests
+
+    async def query(self, body: bytes) -> str:
+        loop = asyncio.get_event_loop()
+        batch = fasta_io.SequenceBatch.from_records(fasta_io.iter_fasta(body))
+        fut = loop.create_future()
+        self.pending.append((batch, fut))
+        if not self.running:
+            self.running = True
+            loop.create_task(self._drain())
+        return await fut
+
+    async def _drain(self):
+        import numpy as np
+
+        loop = asyncio.get_event_loop()
+        try:
+            while self.pending:
+                work, self.pending = self.pending, []
+                batches = [b for b, _ in work]
+                merged = fasta_io.SequenceBatch(
+                    codes=np.concatenate([b.codes for b in batches]),
+                    offsets=np.concatenate(
+                        [batches[0].offsets]
+                        + [b.offsets[1:] + off for b, off in zip(
+                            batches[1:],
+                            np.cumsum([int(b.offsets[-1])
+                                       for b in batches])[:-1])]
+                    ).astype(np.int32),
+                    ids=[i for b in batches for i in b.ids],
+                    deflines=[d for b in batches for d in b.deflines],
+                )
+                try:
+                    async with self.service._lock:  # excludes /add rebuilds
+                        results = await loop.run_in_executor(
+                            None, self.service.caller.call_batch, merged)
+                    self.batches_run += 1
+                except Exception as exc:  # noqa: BLE001 — fail all waiters
+                    for _b, fut in work:
+                        if not fut.done():
+                            fut.set_exception(exc)
+                    continue
+                pos = 0
+                for b, fut in work:
+                    out = io.StringIO()
+                    for res in results[pos:pos + len(b)]:
+                        out.write(formats.format_call_row(
+                            res.seq_id, res.best.function,
+                            res.best.function_index, res.best.score))
+                    pos += len(b)
+                    if not fut.done():
+                        fut.set_result(out.getvalue())
+        finally:
+            self.running = False
+
+
 class AnnotationService:
     def __init__(self, data_dir, config: Config = Config()):
         self.config = config
@@ -44,6 +113,7 @@ class AnnotationService:
             data_dir, config)
         self._build_engines()
         self._lock = asyncio.Lock()
+        self.batcher = _QueryBatcher(self)
         # keyed auxiliary mappings (ref: /mapping/<key>/* endpoints,
         # kser_request.cc:440-489): named k-mer tables built via
         # /mapping/<key>/add and probed via /mapping/<key>/lookup
@@ -374,9 +444,8 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
             else:
                 status, text = "404 Not Found", "unknown mapping endpoint\n"
         elif method == "POST" and path == "/query":
-            async with service._lock:
-                text = await asyncio.get_event_loop().run_in_executor(
-                    None, service.query_text, body)
+            # coalesced: concurrent queries share device batches
+            text = await service.batcher.query(body)
         elif method == "POST" and path == "/lookup":
             async with service._lock:
                 text = await asyncio.get_event_loop().run_in_executor(

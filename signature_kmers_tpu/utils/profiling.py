@@ -55,12 +55,16 @@ class PhaseTimer:
         return "\n".join(lines)
 
 
-def probe_roofline(n_windows: int, table_bytes: int) -> dict:
-    """Bytes-accessed accounting for the bucketed probe: two 48-byte row
-    gathers per window plus the packed-word streams."""
-    row_bytes = 48
+def probe_roofline(n_windows: int, table_bytes: int,
+                   main_row_bytes: int = 16, leaf_row_bytes: int = 16) -> dict:
+    """Bytes-accessed accounting for the table probe.
+
+    Wide layout (default): one main row + one overflow-leaf row per
+    window.  Note gather cost on this chip is TRANSACTION-quantized, not
+    byte-proportional (docs/PERF.md) — bytes are a lower bound, the
+    per-gather latency model is the binding one."""
     stream_bytes = n_windows * (4 + 4 + 1)  # hi, lo, valid
-    gather_bytes = n_windows * 2 * row_bytes
+    gather_bytes = n_windows * (main_row_bytes + leaf_row_bytes)
     return {
         "windows": n_windows,
         "gather_bytes": gather_bytes,

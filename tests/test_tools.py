@@ -256,3 +256,34 @@ class TestMatrixNaturalBreaks:
         assert rows and all(len(r) == 5 for r in rows)
         classes = {int(r[4]) for r in rows}
         assert classes <= {0, 1} and len(classes) == 2
+
+
+class TestQueryBatcher:
+    def test_concurrent_queries_coalesce(self, data_dir):
+        import asyncio
+
+        from signature_kmers_tpu.service.server import AnnotationService
+        from tests.fixtures.gen_corpus import FUNCTIONS, _rand_prot
+        import random
+
+        svc = AnnotationService(str(data_dir))
+        r = random.Random(20240817)
+        cores = [(fn, _rand_prot(r, 220)) for fn in FUNCTIONS]
+
+        async def run():
+            # a slow first call keeps later arrivals queued -> coalesced
+            reqs = [f">q{i}\n{seq}\n".encode()
+                    for i, (_fn, seq) in enumerate(cores)]
+            return await asyncio.gather(
+                *[svc.batcher.query(b) for b in reqs])
+
+        outs = asyncio.run(run())
+        assert len(outs) == len(cores)
+        for i, ((fn, _seq), out) in enumerate(zip(cores, outs)):
+            lines = out.splitlines()
+            assert len(lines) == 1
+            f = lines[0].split("\t")
+            assert f[0] == f"q{i}" and f[1] == fn
+        # all requests were queued before the drain task first ran, so
+        # they shared one device batch
+        assert svc.batcher.batches_run == 1
