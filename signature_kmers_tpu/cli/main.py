@@ -336,6 +336,9 @@ def _add_serve(sub):
     p.add_argument("--pid-file")
     p.add_argument("--no-listen", action="store_true",
                    help="load the data dir and exit (profiling)")
+    p.add_argument("--kmer-family-distribution", metavar="FILE",
+                   help="write per-function signature-k-mer counts at "
+                        "startup (ref: kmers-server.cc:254-263)")
     p.set_defaults(func=cmd_serve)
 
 
@@ -344,11 +347,17 @@ def cmd_serve(args):
 
     from ..service.server import AnnotationService, serve
 
-    if args.no_listen:
+    if args.no_listen or args.kmer_family_distribution:
         svc = AnnotationService(args.data_dir)
-        print(f"loaded {svc.table.n_items} kmers; not listening",
-              file=sys.stderr)
-        return 0
+        if args.kmer_family_distribution:
+            svc.write_kmer_distribution(args.kmer_family_distribution)
+            print(f"write distribution to {args.kmer_family_distribution}",
+                  file=sys.stderr)
+        if args.no_listen:
+            print(f"loaded {svc.table.n_items} kmers; not listening",
+                  file=sys.stderr)
+            return 0
+        del svc  # listening path constructs its own service
     if args.daemonize:
         if os.fork():
             return 0

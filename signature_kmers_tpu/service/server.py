@@ -374,6 +374,23 @@ class AnnotationService:
         return "".join(f"{k}\t{t.n_items}\n"
                        for k, t in sorted(self.mappings.items()))
 
+    def write_kmer_distribution(self, path) -> None:
+        """Per-function signature-k-mer counts, written at startup when
+        requested (ref: write_kmer_distribution call,
+        kmers-server.cc:254-263; the writer itself lives in the sibling
+        PATRIC repo).  Rows: function_index \\t count \\t function."""
+        import numpy as np
+
+        _hi, _lo, v0, _v1, _v2 = self.table.occupied()
+        counts = np.bincount(v0 >> 16,
+                             minlength=len(self.function_index))
+        with open(path, "w") as fh:
+            for fi, cnt in enumerate(counts):
+                if cnt:
+                    name = (self.function_index[fi]
+                            if fi < len(self.function_index) else "")
+                    fh.write(f"{fi}\t{int(cnt)}\t{name}\n")
+
     def checkpoint_text(self) -> str:
         """Persist the live table back to the data dir — the functional
         equivalent of the reference's BLCR /checkpoint

@@ -287,3 +287,19 @@ class TestQueryBatcher:
         # all requests were queued before the drain task first ran, so
         # they shared one device batch
         assert svc.batcher.batches_run == 1
+
+
+class TestKmerDistribution:
+    def test_write_kmer_distribution(self, data_dir, tmp_path):
+        from signature_kmers_tpu.service.server import AnnotationService
+
+        svc = AnnotationService(str(data_dir))
+        out = tmp_path / "dist.tsv"
+        svc.write_kmer_distribution(out)
+        rows = [line.split("\t")
+                for line in out.read_text().splitlines()]
+        assert rows
+        total = sum(int(r[1]) for r in rows)
+        assert total == svc.table.n_items
+        names = {r[2] for r in rows}
+        assert "hypothetical protein" in names or len(names) >= 1
