@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import alphabet
 from ..core.config import CallConfig, DeviceConfig
 from ..io import fasta as fasta_io
 from ..models.function_caller import FunctionCaller
