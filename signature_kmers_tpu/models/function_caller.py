@@ -88,8 +88,9 @@ class FunctionCaller:
     # -- hit gathering -----------------------------------------------------
 
     def _full_device_fn(self, L: int):
-        """Fused device-pad + pack + probe + device automaton: raw flat
-        codes go up, only (B, REC_CAP) call records come back."""
+        """Fused device expand + pack + probe + device automaton:
+        16-code-aligned packed rows go up (see pack_u6_rows_host), only
+        (B, REC_CAP) call records come back."""
         key = ("full", L)
         if key not in self._gather_jit:
             import jax

@@ -49,6 +49,20 @@ class TestPerm48:
             key = (b.astype(np.uint64) << 32) | t
             assert np.unique(key).shape[0] == hi.shape[0]
 
+    def test_bucket_tag_inverse_above_24_bits(self):
+        # the bits > 24 split (and its inverse used by occupied()) without
+        # allocating a 2^26-bucket table
+        rng = np.random.default_rng(12)
+        hi, lo = random_keys(rng, 20000)
+        L, R = hashing.perm48(hi, lo, 99)
+        for bits in (25, 26, 30):
+            b, t = hashing.wide_bucket_tag(L, R, bits)
+            L2 = ((t << np.uint32(bits - 24))
+                  | (b >> np.uint32(24))).astype(np.uint32)
+            R2 = b & np.uint32(0xFFFFFF)
+            np.testing.assert_array_equal(L2, L)
+            np.testing.assert_array_equal(R2, R)
+
     def test_bits_bounds(self):
         with pytest.raises(ValueError):
             hashing.wide_bucket_tag(np.uint32(0), np.uint32(0), 15)
