@@ -162,7 +162,7 @@ def unpack_u6(packed):
     return c.reshape(-1).astype(jnp.uint8)
 
 
-ALIGN = 16  # codes per transfer row: 16 codes = 12 packed-u6 bytes
+ALIGN = 16  # codes per transfer row: 16 codes = 96 bits = 3 uint32 words
 
 
 def pack_u6_rows_host(codes: np.ndarray, offsets: np.ndarray, rows: int,
@@ -170,13 +170,16 @@ def pack_u6_rows_host(codes: np.ndarray, offsets: np.ndarray, rows: int,
     """Host: concatenated codes + offsets -> 16-code-aligned packed rows.
 
     Each sequence's codes start on a 16-code boundary (INVALID padding in
-    between), 6-bit packed into 12-byte rows, so the device can expand
-    the batch with ROW gathers instead of per-element gathers: element
-    gathers are transaction-quantized like row gathers on TPU (~10ns
-    each; docs/PERF.md), which made the old flat expand_flat cost ~15ms
-    per 4096x384 chunk vs ~1ms for this layout.
+    between), 6-bit packed MSB-first into one 96-bit row of THREE uint32
+    words, so the device can expand the batch with ROW gathers instead of
+    per-element gathers: element gathers are transaction-quantized like
+    row gathers on TPU (~10ns each; docs/PERF.md), which made the old
+    flat expand_flat cost ~15ms per 4096x384 chunk vs ~1ms here.  Word
+    rows (not byte rows): strided byte slices of a gathered u8 block made
+    XLA re-issue the gather once per byte lane — 3 redundant (B, L/16)
+    gathers, ~3.6ms/chunk.
 
-    Returns (packed_rows (R, 12) uint8, start_row (rows,) int32,
+    Returns (packed_rows (R, 3) uint32, start_row (rows,) int32,
     lengths (rows,) int32); R is padded to a pow2/1.5x grid so jit
     compiles once per grid step.  start_row of padding rows points at a
     dedicated all-INVALID row.
@@ -197,7 +200,16 @@ def pack_u6_rows_host(codes: np.ndarray, offsets: np.ndarray, rows: int,
         s = int(offsets[b])
         d = int(row_start[b]) * ALIGN
         flat[d:d + int(lens[b])] = codes[s:s + int(lens[b])]
-    packed = pack_u6_host(flat).reshape(R, 12)
+    c = flat.reshape(R, ALIGN).astype(np.uint32)
+    packed = np.empty((R, 3), dtype=np.uint32)
+    packed[:, 0] = ((c[:, 0] << 26) | (c[:, 1] << 20) | (c[:, 2] << 14)
+                    | (c[:, 3] << 8) | (c[:, 4] << 2) | (c[:, 5] >> 4))
+    packed[:, 1] = (((c[:, 5] & 15) << 28) | (c[:, 6] << 22)
+                    | (c[:, 7] << 16) | (c[:, 8] << 10) | (c[:, 9] << 4)
+                    | (c[:, 10] >> 2))
+    packed[:, 2] = (((c[:, 10] & 3) << 30) | (c[:, 11] << 24)
+                    | (c[:, 12] << 18) | (c[:, 13] << 12) | (c[:, 14] << 6)
+                    | c[:, 15])
     start_row = np.full(rows, total_rows - 1, dtype=np.int32)
     start_row[:B] = row_start[:-1]
     lengths = np.zeros(rows, dtype=np.int32)
@@ -206,19 +218,28 @@ def pack_u6_rows_host(codes: np.ndarray, offsets: np.ndarray, rows: int,
 
 
 def expand_rows16(packed_rows, start_row, lengths, L: int):
-    """Device inverse of pack_u6_rows_host: row-gather + 6-bit unpack.
+    """Device inverse of pack_u6_rows_host: ONE row gather + bit unpack.
 
-    packed_rows: (R, 12) uint8; start_row: (B,); lengths: (B,).
+    packed_rows: (R, 3) uint32; start_row: (B,); lengths: (B,).
     -> (B, L) uint8 codes (INVALID beyond each length, exactly like
     expand_flat) with L % 16 == 0.
     """
     nrow = L // ALIGN
     idx = start_row[:, None] + jnp.arange(nrow, dtype=jnp.int32)[None, :]
     rows = packed_rows[jnp.clip(idx, 0, packed_rows.shape[0] - 1)]
-    b = rows.astype(jnp.uint32)  # (B, nrow, 12)
-    w = (b[..., 0::3] << 16) | (b[..., 1::3] << 8) | b[..., 2::3]
-    c = jnp.stack([(w >> 18) & 63, (w >> 12) & 63, (w >> 6) & 63, w & 63],
-                  axis=-1)  # (B, nrow, 4, 4)
+    w0 = rows[..., 0]
+    w1 = rows[..., 1]
+    w2 = rows[..., 2]
+    m6 = jnp.uint32(63)
+    c = jnp.stack([
+        (w0 >> 26) & m6, (w0 >> 20) & m6, (w0 >> 14) & m6,
+        (w0 >> 8) & m6, (w0 >> 2) & m6,
+        ((w0 << 4) | (w1 >> 28)) & m6,              # straddles w0/w1
+        (w1 >> 22) & m6, (w1 >> 16) & m6, (w1 >> 10) & m6, (w1 >> 4) & m6,
+        ((w1 << 2) | (w2 >> 30)) & m6,              # straddles w1/w2
+        (w2 >> 24) & m6, (w2 >> 18) & m6, (w2 >> 12) & m6,
+        (w2 >> 6) & m6, w2 & m6,
+    ], axis=-1)  # (B, nrow, 16)
     codes = c.reshape(c.shape[0], nrow * ALIGN).astype(jnp.uint8)
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     return jnp.where(pos < lengths[:, None], codes,

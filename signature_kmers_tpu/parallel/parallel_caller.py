@@ -266,7 +266,7 @@ class ParallelFunctionCaller(FunctionCaller):
 
             def shard_fn(*args):
                 # args[:n_tab]: local tp shard of the table arrays
-                # rows_l: (1, R, 12); start_l/lens_l: (1, rows)
+                # rows_l: (1, R, 3) uint32; start_l/lens_l: (1, rows)
                 tabs = args[:n_tab]
                 rows_l, start_l, lens_l = args[n_tab:]
                 lengths = lens_l[0]
@@ -344,7 +344,7 @@ class ParallelFunctionCaller(FunctionCaller):
             # common packed-row count across dp shards so they stack
             R = max(p[0].shape[0] for p in packs)
             for p, s_arr, l_arr in packs:
-                pad = np.zeros((R - p.shape[0], 12), dtype=np.uint8)
+                pad = np.zeros((R - p.shape[0], 3), dtype=np.uint32)
                 flats.append(np.concatenate([p, pad]) if pad.shape[0]
                              else p)
                 offs.append((s_arr, l_arr))
