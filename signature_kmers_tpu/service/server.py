@@ -50,6 +50,7 @@ class _QueryBatcher:
         self.pending: list = []
         self.running = False
         self.batches_run = 0  # observability / tests
+        self._drain_task = None  # strong ref: bare tasks can be GC'd
 
     async def query(self, body: bytes) -> str:
         loop = asyncio.get_event_loop()
@@ -58,7 +59,7 @@ class _QueryBatcher:
         self.pending.append((batch, fut))
         if not self.running:
             self.running = True
-            loop.create_task(self._drain())
+            self._drain_task = loop.create_task(self._drain())
         return await fut
 
     async def _drain(self):
