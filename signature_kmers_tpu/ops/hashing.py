@@ -82,15 +82,15 @@ def perm48_inv(L, R, salt: int, xp=np):
 def wide_bucket_tag(L, R, bits: int, xp=np):
     """Split permuted halves into (bucket, tag) covering all 48 bits.
 
-    bits = log2(bucket count), 16 <= bits <= 30.  The tag has 48-bits
-    width; for bits >= 17 the uint32 sentinel 0xFFFFFFFF can never be a
-    valid tag.  At bits == 16 the tag uses all 32 bits, and the builder
-    must re-salt away any key whose tag collides with the sentinel
-    (probability ~n/2^32 per salt).  (bucket, tag) <-> (L, R) is a
-    bijection.
+    bits = log2(bucket count), 17 <= bits <= 30: the tag has 48-bits
+    width (<= 31 bits), so the uint32 empty-slot sentinel 0xFFFFFFFF can
+    never be a valid tag — for stored keys AND for arbitrary queries
+    (at 16 bits a query whose tag hit the sentinel would falsely match
+    empty slots; re-salting the build cannot prevent that).
+    (bucket, tag) <-> (L, R) is a bijection.
     """
-    if not 16 <= bits <= 30:
-        raise ValueError(f"wide table bits {bits} outside [16, 30]")
+    if not 17 <= bits <= 30:
+        raise ValueError(f"wide table bits {bits} outside [17, 30]")
     if bits <= 24:
         bucket = R & xp.uint32((1 << bits) - 1)
         tag = (L << xp.uint32(24 - bits)) | (R >> xp.uint32(bits))

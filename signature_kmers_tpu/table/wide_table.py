@@ -64,7 +64,9 @@ class WideTableConfig:
 
     slots: int = 2          # tagged slots per main bucket (2 -> 16B rows)
     main_load: float = 0.22  # keys per slot target (lambda = slots*load)
-    min_bits: int = 17      # main tag <= 31 bits keeps the sentinel safe
+    # >= 17 so tags stay <= 31 bits and the 0xFFFFFFFF empty sentinel is
+    # unreachable by ANY query's tag (exactness; hashing.wide_bucket_tag)
+    min_bits: int = 17
 
 
 def compact_config() -> WideTableConfig:
@@ -170,16 +172,12 @@ def _occupied_tagged(packed, aux, salt: int, bits: int):
 
 
 def leaf_salt(hi, lo, bits: int):
-    """Best overflow salt at a fixed bucket count: (salt, max_occupancy),
-    or None when every candidate salt has a sentinel-tag collision
-    (possible only at bits == 16)."""
+    """Best overflow salt at a fixed bucket count: (salt, max_occupancy)."""
     best = None
     for attempt in range(6):
         salt = (_SALT_BASE ^ 0x00F1_F0F0) + attempt * _SALT_STEP
         L, R = hashing.perm48(hi, lo, salt)
-        bucket, tag = hashing.wide_bucket_tag(L, R, bits)
-        if bits == 16 and bool((tag == EMPTY).any()):
-            continue  # sentinel collision: tag uses all 32 bits here
+        bucket, _tag = hashing.wide_bucket_tag(L, R, bits)
         mx = int(np.bincount(bucket.astype(np.int64),
                              minlength=1 << bits).max())
         if best is None or mx < best[1]:
@@ -193,20 +191,20 @@ def _build_leaf(hi, lo, v0, v1, v2):
     second-level overflow).  Returns (packed, aux, salt, bits)."""
     n = hi.shape[0]
     if n == 0:
+        # bits value is never consulted: the probe drops the leaf
+        # statically when ov_items == 0
         return (np.full((1, 2), EMPTY, dtype=np.uint32),
-                np.zeros((1, 3), dtype=np.uint32), _SALT_BASE, 16)
-    bits0 = max(16, int(np.ceil(np.log2(max(n / _OV_LAMBDA, 1)))))
+                np.zeros((1, 3), dtype=np.uint32), _SALT_BASE, 17)
+    bits0 = max(17, int(np.ceil(np.log2(max(n / _OV_LAMBDA, 1)))))
     # pick (bits, salt) minimizing total bytes = n_buckets * 8 * max_occ;
     # more buckets trims the occupancy tail but rarely pays for itself
     best = None  # (bytes, salt, bits, S)
     for bits in range(bits0, min(bits0 + 3, 31)):
-        r = leaf_salt(hi, lo, bits)
-        if r is not None:
-            salt, mx = r
-            size = (1 << bits) * 8 * mx
-            if best is None or size < best[0]:
-                best = (size, salt, bits, mx)
-        if best is not None and best[0] <= _OV_BUDGET_BYTES:
+        salt, mx = leaf_salt(hi, lo, bits)
+        size = (1 << bits) * 8 * mx
+        if best is None or size < best[0]:
+            best = (size, salt, bits, mx)
+        if best[0] <= _OV_BUDGET_BYTES:
             break  # inside the cheap-gather regime; stop searching
     _, salt, bits, S = best
     packed, aux, leftover = _place_tagged(hi, lo, v0, v1, v2, bits, salt, S)
@@ -252,6 +250,9 @@ class WideKmerTable:
         v0 = np.asarray(v0, dtype=np.uint32)
         v1 = np.asarray(v1, dtype=np.uint32)
         v2 = np.asarray(v2, dtype=np.uint32)
+        if config.min_bits < 17:
+            raise ValueError("wide table min_bits must be >= 17 "
+                             "(tag/sentinel exactness)")
         n = hi.shape[0]
         if n and _native_host() is None:
             # the native placement detects duplicates itself (same bucket
@@ -314,7 +315,7 @@ class WideKmerTable:
         meta = {"n_items": self.n_items, "ov_items": self.ov_items,
                 "salt": self.salt, "bits": self.bits,
                 "ov_salt": self.ov_salt, "ov_bits": self.ov_bits,
-                "slots": self.slots, "format": "skt-wide-v1"}
+                "slots": self.slots, "format": "skt-wide-v2"}
         path.with_suffix(".json").write_text(json.dumps(meta))
 
     @staticmethod
@@ -335,7 +336,7 @@ class WideKmerTable:
                 and path.with_suffix(".json").is_file()):
             return False
         meta = json.loads(path.with_suffix(".json").read_text())
-        return meta.get("format") == "skt-wide-v1"
+        return meta.get("format") == "skt-wide-v2"
 
     # -- device ---------------------------------------------------------------
 

@@ -64,10 +64,16 @@ class TestPerm48:
             np.testing.assert_array_equal(R2, R)
 
     def test_bits_bounds(self):
-        with pytest.raises(ValueError):
-            hashing.wide_bucket_tag(np.uint32(0), np.uint32(0), 15)
-        with pytest.raises(ValueError):
-            hashing.wide_bucket_tag(np.uint32(0), np.uint32(0), 31)
+        # 16 is excluded: the tag would use all 32 bits, so an arbitrary
+        # QUERY key's tag could equal the 0xFFFFFFFF empty-slot sentinel
+        # and falsely match empty slots (build-side re-salting can't fix
+        # a query-side collision)
+        for bad in (15, 16, 31):
+            with pytest.raises(ValueError):
+                hashing.wide_bucket_tag(np.uint32(0), np.uint32(0), bad)
+        with pytest.raises(ValueError, match="min_bits"):
+            z = np.zeros(0, dtype=np.uint32)
+            WideKmerTable.build(z, z, z, z, z, WideTableConfig(min_bits=16))
 
 
 class TestWideTable:
