@@ -17,8 +17,6 @@ StoredKmerData is gathered only for debug/matrix paths.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from ..core import alphabet
@@ -50,13 +48,26 @@ def pad_bucketed(sub: fasta_io.SequenceBatch, rows: int):
     return codes, lengths
 
 
-@dataclasses.dataclass
 class SequenceResult:
-    seq_id: str
-    length: int
-    calls: list[KmerCall]
-    best: BestCall
-    hits: list[KmerHit] | None = None
+    """Per-sequence outcome.  `calls` may be a thunk: the production
+    output path reads only `best`, so the KmerCall row objects (the
+    dominant host cost per chunk) are materialized on first access."""
+
+    __slots__ = ("seq_id", "length", "best", "hits", "_calls")
+
+    def __init__(self, seq_id: str, length: int, calls, best: BestCall,
+                 hits: list[KmerHit] | None = None):
+        self.seq_id = seq_id
+        self.length = length
+        self.best = best
+        self.hits = hits
+        self._calls = calls
+
+    @property
+    def calls(self) -> list[KmerCall]:
+        if callable(self._calls):
+            self._calls = self._calls()
+        return self._calls
 
 
 class FunctionCaller:
@@ -199,22 +210,29 @@ class FunctionCaller:
             self.config.merge_interior_thresh,
             self.config.merge_exterior_thresh,
             self.config.call_margin, self.config.pair_margin)
+        # .tolist() once: per-element numpy-scalar conversion inside the
+        # row loop costs ~100ns each and dominates at 4096 rows/chunk
+        kind_l = kind.tolist()
+        func_l = func.tolist()
+        score_l = score.tolist()
+        offset_l = offset.tolist()
+        f1_l, f2_l = f1.tolist(), f2.tolist()
+        overflow_l = overflow.tolist()
+        names = self.function_index
         res = []
         for i in range(B):
-            if overflow[i] or kind[i] == 3:
+            k = kind_l[i]
+            if overflow_l[i] or k == 3:
                 res.append(None)
-            elif kind[i] == 0:
-                res.append(BestCall(int(func[i]),
-                                    self.function_index[int(func[i])],
-                                    float(score[i]), float(offset[i])))
-            elif kind[i] == 2:
-                n1 = self.function_index[int(f1[i])]
-                n2 = self.function_index[int(f2[i])]
-                res.append(BestCall(UNDEFINED_FUNCTION, f"{n1} ?? {n2}",
-                                    float(score[i]), float(offset[i])))
+            elif k == 0:
+                fi = func_l[i]
+                res.append(BestCall(fi, names[fi], score_l[i], offset_l[i]))
+            elif k == 2:
+                res.append(BestCall(
+                    UNDEFINED_FUNCTION, f"{names[f1_l[i]]} ?? {names[f2_l[i]]}",
+                    score_l[i], offset_l[i]))
             else:
-                res.append(BestCall(UNDEFINED_FUNCTION, "", 0.0,
-                                    float(offset[i])))
+                res.append(BestCall(UNDEFINED_FUNCTION, "", 0.0, offset_l[i]))
         return res
 
     def _finalize_device(self, sub, packed_out) -> list[SequenceResult]:
@@ -253,37 +271,53 @@ class FunctionCaller:
 
         native_best = self._native_best_call(valid, out, B, overflow)
 
+        def make_lazy(i):
+            def build():
+                return [KmerCall(int(out["start"][i, r]),
+                                 int(out["end"][i, r]),
+                                 int(out["count"][i, r]),
+                                 int(out["fI"][i, r]),
+                                 int(out["median"][i, r]),
+                                 float(out["mad"][i, r]))
+                        for r in range(REC_CAP) if valid[i, r]]
+            return build
+
+        # batch numpy->Python conversions (per-row scalar reads are ~100ns)
+        overflow_l = overflow.tolist()
+        n_calls_l = n_calls.tolist()
+        true_lens_l = true_lens[:B].tolist()
+        total_count_l = total_count.tolist()
+        fs0_l = fs[:, 0].tolist()
+        n_distinct_l = n_distinct.tolist()
+        ids = sub.ids
+
         results: list[SequenceResult] = [None] * B
         slow_rows = []
         for i in range(B):
-            if overflow[i]:
+            if overflow_l[i]:
                 slow_rows.append(i)
                 continue
-            if n_calls[i] == 0:
+            if n_calls_l[i] == 0:
                 results[i] = SequenceResult(
-                    sub.ids[i], int(true_lens[i]), [],
+                    ids[i], true_lens_l[i], [],
                     BestCall(UNDEFINED_FUNCTION, "", 0.0, 0.0))
                 continue
-            calls = [KmerCall(int(out["start"][i, r]), int(out["end"][i, r]),
-                              int(out["count"][i, r]), int(out["fI"][i, r]),
-                              int(out["median"][i, r]),
-                              float(out["mad"][i, r]))
-                     for r in range(REC_CAP) if valid[i, r]]
+            calls = make_lazy(i)
             if native_best is not None and native_best[i] is not None:
                 best = native_best[i]
-            elif n_distinct[i] == 1:
-                score = float(total_count[i])
+            elif n_distinct_l[i] == 1:
+                score = float(total_count_l[i])
                 if score >= margin:
-                    fi = int(fs[i, 0])
+                    fi = fs0_l[i]
                     best = BestCall(fi, self.function_at_index(fi), score,
                                     score)
                 else:
                     best = BestCall(UNDEFINED_FUNCTION, "", 0.0, score)
             else:
+                calls = calls()  # find_best_call needs the records
                 best = find_best_call(calls, self.function_at_index,
                                       self.config)
-            results[i] = SequenceResult(sub.ids[i], int(true_lens[i]),
-                                        calls, best)
+            results[i] = SequenceResult(ids[i], true_lens_l[i], calls, best)
 
         for i in slow_rows:
             # exact host fallback for flush-heavy sequences (rare)
