@@ -136,15 +136,10 @@ class FunctionCaller:
                     cfg.min_hits, cfg.max_gap, cfg.k,
                     mad_floor=cfg.mad_floor,
                     len_window=cfg.len_mad_window)
-                # ONE packed int32 result -> one device->host transfer
-                # (per-array transfers each pay the full link latency)
-                return jnp.concatenate([
-                    out["n_recs"][:, None],
-                    out["call_valid"].astype(jnp.int32),
-                    out["start"], out["end"], out["count"], out["fI"],
-                    out["median"],
-                    jax.lax.bitcast_convert_type(out["mad"], jnp.int32),
-                ], axis=1)
+                # ONE packed int32 result (3 words/record) -> one small
+                # device->host transfer (per-array transfers each pay the
+                # full link latency; see automaton.pack_records)
+                return automaton_ops.pack_records(out, lengths)
 
             self._gather_jit[key] = (f, arrays)
         return self._gather_jit[key]
@@ -236,21 +231,10 @@ class FunctionCaller:
         return res
 
     def _finalize_device(self, sub, packed_out) -> list[SequenceResult]:
-        from ..ops.automaton import REC_CAP
+        from ..ops.automaton import REC_CAP, unpack_records
 
         m = np.asarray(packed_out)  # single transfer
-        C = REC_CAP
-        out = {
-            "n_recs": m[:, 0],
-            "call_valid": m[:, 1:1 + C].astype(bool),
-            "start": m[:, 1 + C:1 + 2 * C],
-            "end": m[:, 1 + 2 * C:1 + 3 * C],
-            "count": m[:, 1 + 3 * C:1 + 4 * C],
-            "fI": m[:, 1 + 4 * C:1 + 5 * C],
-            "median": m[:, 1 + 5 * C:1 + 6 * C],
-            "mad": np.ascontiguousarray(
-                m[:, 1 + 6 * C:1 + 7 * C]).view(np.float32),
-        }
+        out = unpack_records(m)
         B = len(sub)
         true_lens = sub.lengths.astype(np.int32)
         valid = out["call_valid"][:B]

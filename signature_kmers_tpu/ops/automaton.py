@@ -211,3 +211,71 @@ def device_automaton(found, func, mean, seqlen,
         "mad": mad,
         "n_recs": n_recs,
     }
+
+
+# -- D2H record packing -------------------------------------------------------
+#
+# The automaton result crosses device->host once per chunk; on a
+# link-bound setup that transfer is a first-order cost.  All fields fit
+# 16 bits for real proteins (positions/counts < seqlen, median/fI are
+# uint16 by table construction, mad is a multiple of 0.25 well under
+# 16384), so records pack 3 words each instead of 7.  Rows where any
+# field would NOT fit exactly are flagged as overflow (n_recs > REC_CAP)
+# and re-called exactly on the host — the same fallback path REC_CAP
+# overflow already uses, so packing never changes results.
+
+PACKED_WORDS = 1 + 3 * REC_CAP
+
+
+def pack_records(out, lengths):
+    """(B,) layout: [n_recs | start<<16|end ×C | count<<16|fI ×C |
+    median<<16|mad*4 ×C], int32.  Invalid slots are zero (count==0 marks
+    them: every emitted record has count >= 1)."""
+    import jax.numpy as jnp
+
+    valid = out["call_valid"]
+    mad4f = out["mad"] * 4.0
+    # exactness guards -> host fallback: sequence too long for 16-bit
+    # positions/counts, mad*4 not integral (custom mad_floor) or too wide
+    bad = (lengths.astype(jnp.int32) > 65535) | (
+        valid & ((mad4f > 65535.0)
+                 | (jnp.round(mad4f) != mad4f))).any(axis=1)
+    # clip before the int cast: bad rows go to the host fallback and
+    # never read these words, but the cast itself must stay in range
+    mad4 = jnp.round(jnp.clip(mad4f, 0.0, 65535.0)).astype(jnp.int32)
+    n_recs = jnp.where(bad, jnp.int32(REC_CAP + 1), out["n_recs"])
+
+    def u16pair(hi, lo):
+        w = (hi.astype(jnp.uint32) << 16) | (lo.astype(jnp.uint32)
+                                             & jnp.uint32(0xFFFF))
+        return jnp.where(valid, w, jnp.uint32(0)).astype(jnp.int32)
+
+    return jnp.concatenate([
+        n_recs[:, None],
+        u16pair(out["start"], out["end"]),
+        u16pair(out["count"], out["fI"]),
+        u16pair(out["median"], mad4),
+    ], axis=1)
+
+
+def unpack_records(m: "np.ndarray"):
+    """Inverse of pack_records on the host: (B, PACKED_WORDS) int32 ->
+    dict of (B, REC_CAP) arrays matching device_automaton's output."""
+    import numpy as np
+
+    C = REC_CAP
+    u = np.ascontiguousarray(m[:, 1:]).view(np.uint32)
+    se = u[:, :C]
+    cf = u[:, C:2 * C]
+    mm = u[:, 2 * C:3 * C]
+    count = (cf >> 16).astype(np.int32)
+    return {
+        "n_recs": m[:, 0],
+        "call_valid": count > 0,
+        "start": (se >> 16).astype(np.int32),
+        "end": (se & 0xFFFF).astype(np.int32),
+        "count": count,
+        "fI": (cf & 0xFFFF).astype(np.int32),
+        "median": (mm >> 16).astype(np.int32),
+        "mad": (mm & 0xFFFF).astype(np.float32) / 4.0,
+    }

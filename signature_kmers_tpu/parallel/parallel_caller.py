@@ -288,14 +288,8 @@ class ParallelFunctionCaller(FunctionCaller):
                     found, func, mean, lengths,
                     cfg.min_hits, cfg.max_gap, cfg.k,
                     mad_floor=cfg.mad_floor, len_window=cfg.len_mad_window)
-                packed_out = jnp.concatenate([
-                    out["n_recs"][:, None],
-                    out["call_valid"].astype(jnp.int32),
-                    out["start"], out["end"], out["count"], out["fI"],
-                    out["median"],
-                    jax.lax.bitcast_convert_type(out["mad"], jnp.int32),
-                ], axis=1)
-                return packed_out[None]  # (1, rows, 29)
+                packed_out = automaton_ops.pack_records(out, lengths)
+                return packed_out[None]  # (1, rows, PACKED_WORDS)
 
             fn = shard_map(
                 shard_fn, mesh=self.mesh,
@@ -355,7 +349,7 @@ class ParallelFunctionCaller(FunctionCaller):
                      jnp.asarray(np.stack([o[1] for o in offs])))
             pending.append((subs, out))
         for subs, out in pending:
-            m = np.asarray(out)  # (dp, rows, 29)
+            m = np.asarray(out)  # (dp, rows, PACKED_WORDS)
             for d, sub in enumerate(subs):
                 if len(sub):
                     results.extend(self._finalize_device(sub, m[d]))

@@ -100,3 +100,65 @@ class TestDeviceAutomaton:
                              int(rng.integers(200, 400))) for p in pos])
             lens.append(int(rng.integers(100, 500)))
         run_both(streams, lens)
+
+
+class TestPackedRecords:
+    """pack_records/unpack_records: the 3-word D2H record transfer must be
+    an exact round trip, with out-of-range rows flagged for host fallback."""
+
+    def _automaton_out(self, streams, seq_lens, L=512, cfg=CFG):
+        B = len(streams)
+        found = np.zeros((B, L), dtype=bool)
+        func = np.zeros((B, L), dtype=np.int32)
+        mean = np.zeros((B, L), dtype=np.int32)
+        for i, hits in enumerate(streams):
+            for p, f, m in hits:
+                found[i, p] = True
+                func[i, p] = f
+                mean[i, p] = m
+        lens = np.asarray(seq_lens, np.int32)
+        out = automaton.device_automaton(
+            found, func, mean, lens, cfg.min_hits, cfg.max_gap, cfg.k,
+            mad_floor=cfg.mad_floor, len_window=cfg.len_mad_window)
+        return out, lens
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(11)
+        streams, lens = [], []
+        for _ in range(64):
+            n = int(rng.integers(0, 60))
+            pos = np.sort(rng.choice(500, size=n, replace=False)) if n else []
+            streams.append([(int(p), int(rng.integers(0, 6)),
+                             int(rng.integers(200, 400))) for p in pos])
+            lens.append(int(rng.integers(100, 500)))
+        out, lens = self._automaton_out(streams, lens)
+        import jax
+        packed = np.asarray(jax.jit(automaton.pack_records)(out, lens))
+        assert packed.shape[1] == automaton.PACKED_WORDS
+        got = automaton.unpack_records(packed)
+        ref = {k: np.asarray(v) for k, v in out.items()}
+        np.testing.assert_array_equal(got["n_recs"], ref["n_recs"])
+        v = ref["call_valid"]
+        np.testing.assert_array_equal(got["call_valid"], v)
+        for k in ("start", "end", "count", "fI", "median", "mad"):
+            np.testing.assert_array_equal(got[k][v], ref[k][v], err_msg=k)
+
+    def test_long_sequence_flags_overflow(self):
+        # a sequence longer than 65535 residues cannot use 16-bit packed
+        # positions; the row must be routed to the exact host fallback
+        out, lens = self._automaton_out(
+            [[(p, 3, 300) for p in range(0, 50, 10)]], [70000])
+        packed = np.asarray(automaton.pack_records(out, lens))
+        got = automaton.unpack_records(packed)
+        assert got["n_recs"][0] > automaton.REC_CAP
+
+    def test_fractional_mad_floor_flags_overflow(self):
+        # a custom mad_floor that is not a multiple of 0.25 cannot be
+        # packed exactly; rows with emitted calls must be flagged
+        cfg = CallConfig(mad_floor=30.3)
+        out, lens = self._automaton_out(
+            [[(p, 3, 300) for p in range(0, 50, 10)]], [300], cfg=cfg)
+        assert bool(np.asarray(out["call_valid"]).any())
+        packed = np.asarray(automaton.pack_records(out, lens))
+        got = automaton.unpack_records(packed)
+        assert got["n_recs"][0] > automaton.REC_CAP
