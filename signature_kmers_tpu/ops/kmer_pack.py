@@ -195,6 +195,28 @@ def pack_u6_rows_host(codes: np.ndarray, offsets: np.ndarray, rows: int,
         R <<= 1
     if R > (1 << 10) and (R >> 1) + (R >> 2) >= total_rows:
         R = (R >> 1) + (R >> 2)
+    packed = _pack_u6_rows(codes, offsets, lens, row_start, R)
+    start_row = np.full(rows, total_rows - 1, dtype=np.int32)
+    start_row[:B] = row_start[:-1]
+    lengths = np.zeros(rows, dtype=np.int32)
+    lengths[:B] = lens
+    return packed, start_row, lengths
+
+
+def _pack_u6_rows(codes, offsets, lens, row_start, R: int):
+    from ..runtime import host
+
+    if host.available():
+        # single-pass native packer: this runs per chunk on the caller's
+        # critical path (~16 ms/4096-row chunk in numpy, ~1 ms native)
+        return host.pack_u6_rows(codes, offsets, lens, row_start, R)
+    return _pack_u6_rows_np(codes, offsets, lens, row_start, R)
+
+
+def _pack_u6_rows_np(codes, offsets, lens, row_start, R: int):
+    """Numpy spec for the packed row format (host.pack_u6_rows must
+    match byte for byte; tests/test_runtime.py asserts it)."""
+    B = lens.shape[0]
     flat = np.full(R * ALIGN, alphabet.INVALID_CODE, dtype=np.uint8)
     for b in range(B):
         s = int(offsets[b])
@@ -210,11 +232,7 @@ def pack_u6_rows_host(codes: np.ndarray, offsets: np.ndarray, rows: int,
     packed[:, 2] = (((c[:, 10] & 3) << 30) | (c[:, 11] << 24)
                     | (c[:, 12] << 18) | (c[:, 13] << 12) | (c[:, 14] << 6)
                     | c[:, 15])
-    start_row = np.full(rows, total_rows - 1, dtype=np.int32)
-    start_row[:B] = row_start[:-1]
-    lengths = np.zeros(rows, dtype=np.int32)
-    lengths[:B] = lens
-    return packed, start_row, lengths
+    return packed
 
 
 def expand_rows16(packed_rows, start_row, lengths, L: int):

@@ -609,4 +609,43 @@ long skt_build_wide(const uint32_t *hi, const uint32_t *lo,
     return nl;
 }
 
+// 16-code-aligned 6-bit row packing for the H2D code transfer (the
+// device expands with ROW gathers; ops/kmer_pack.pack_u6_rows_host is
+// the numpy spec this must match byte for byte).  packed is (R, 3)
+// uint32; unused rows / tail lanes are all-INVALID (code 63 -> every
+// bit set, so the fill is one memset).
+
+static inline void pack16_u6(const unsigned char *c, uint32_t *w) {
+    w[0] = ((uint32_t)c[0] << 26) | ((uint32_t)c[1] << 20)
+         | ((uint32_t)c[2] << 14) | ((uint32_t)c[3] << 8)
+         | ((uint32_t)c[4] << 2) | ((uint32_t)c[5] >> 4);
+    w[1] = ((uint32_t)(c[5] & 15) << 28) | ((uint32_t)c[6] << 22)
+         | ((uint32_t)c[7] << 16) | ((uint32_t)c[8] << 10)
+         | ((uint32_t)c[9] << 4) | ((uint32_t)c[10] >> 2);
+    w[2] = ((uint32_t)(c[10] & 3) << 30) | ((uint32_t)c[11] << 24)
+         | ((uint32_t)c[12] << 18) | ((uint32_t)c[13] << 12)
+         | ((uint32_t)c[14] << 6) | (uint32_t)c[15];
+}
+
+void skt_pack_u6_rows(const unsigned char *codes, const int64_t *offsets,
+                      const int32_t *lens, const int64_t *row_start,
+                      long B, long R, uint32_t *packed) {
+    memset(packed, 0xFF, (size_t)R * 3 * sizeof(uint32_t));
+    for (long b = 0; b < B; b++) {
+        const unsigned char *src = codes + offsets[b];
+        long n = lens[b];
+        uint32_t *w = packed + row_start[b] * 3;
+        long full = n / 16;
+        for (long r = 0; r < full; r++, src += 16, w += 3)
+            pack16_u6(src, w);
+        long rem = n - full * 16;
+        if (rem) {
+            unsigned char tmp[16];
+            memset(tmp, 63, 16);
+            memcpy(tmp, src, (size_t)rem);
+            pack16_u6(tmp, w);
+        }
+    }
+}
+
 }  // extern "C"

@@ -96,6 +96,11 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double,
         ]
+        lib.skt_pack_u6_rows.restype = None
+        lib.skt_pack_u6_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -277,3 +282,17 @@ def run_automaton(hit_pos, hit_func, hit_mean, hit_offsets, seq_lens,
         _ptr(mad), _ptr(call_off))
     return (call_off, start[:total], end[:total], count[:total],
             func[:total], med[:total], mad[:total])
+
+
+def pack_u6_rows(codes, offsets, lens, row_start, R: int):
+    """Single-pass 16-code-aligned 6-bit row packing (H2D transfer
+    format; byte-identical to the numpy spec in ops/kmer_pack)."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    row_start = np.ascontiguousarray(row_start, dtype=np.int64)
+    packed = np.empty((R, 3), dtype=np.uint32)
+    lib.skt_pack_u6_rows(_ptr(codes), _ptr(offsets), _ptr(lens),
+                         _ptr(row_start), lens.shape[0], R, _ptr(packed))
+    return packed

@@ -176,3 +176,32 @@ class TestNativeCuckooBuild:
         # occupied() returns the same key/value multiset
         for a, b in zip(t_native.occupied(), t_numpy.occupied()):
             assert (a == b).all()
+
+
+class TestNativePackU6Rows:
+    def test_matches_numpy_spec(self):
+        from signature_kmers_tpu.runtime import host
+        from signature_kmers_tpu.ops import kmer_pack
+
+        if not host.available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(21)
+        for trial, L in ((0, 128), (1, 384), (2, 512)):
+            # lengths exercise empty seqs, 16-multiples, tails, and > L
+            # truncation; codes use the full 6-bit range incl. INVALID
+            B = int(rng.integers(1, 40))
+            lens_true = rng.integers(0, L + 100, B)
+            lens_true[rng.integers(0, B)] = 0
+            offsets = np.concatenate([[0], np.cumsum(lens_true)]).astype(
+                np.int64)
+            codes = rng.integers(0, 64, int(offsets[-1]),
+                                  dtype=np.uint8)
+            lens = np.minimum(lens_true, L).astype(np.int32)
+            spans = -(-lens // kmer_pack.ALIGN)
+            row_start = np.zeros(B + 1, dtype=np.int64)
+            np.cumsum(spans, out=row_start[1:])
+            R = int(row_start[-1]) + 8
+            a = host.pack_u6_rows(codes, offsets, lens, row_start, R)
+            b = kmer_pack._pack_u6_rows_np(codes, offsets, lens, row_start,
+                                           R)
+            np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
