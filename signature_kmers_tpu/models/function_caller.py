@@ -193,6 +193,10 @@ class FunctionCaller:
         if not host.available() or not self.function_index:
             return None
         is_multipart, lex_rank = self._function_meta()
+        # overflow rows carry truncated/garbage record words (they are
+        # re-called on the host); drop them so they can't trip the
+        # function-range check below and stall the whole chunk
+        valid = valid & ~overflow[:, None]
         counts_per_row = valid.sum(axis=1)
         flat_fI = out["fI"][:B][valid]
         flat_count = out["count"][:B][valid]
