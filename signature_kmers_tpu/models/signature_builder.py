@@ -36,6 +36,30 @@ from ..table.kmer_table import KmerTable
 BIG_I32 = np.int32(2**31 - 1)
 
 
+def _finalize_stats_np(best_count, s_best, sq_hi, sq_lo, med_lo, med_hi):
+    """Exact int64 host finalization of the per-k-mer statistics (see
+    FIDELITY.md): mean floor, exact median, exact variance floor, all
+    truncated to uint16 like StoredKmerData (kmer_data.h:122-127).
+
+    The device pass delivers sum(x) and sum(x^2) (16-bit split channels)
+    over the best-function occurrences; with c = floor(mean),
+    sum((x-c)^2) = sum(x^2) - 2*c*sum(x) + n*c^2 exactly, and
+    var = floor((n*sum((x-c)^2) - r^2) / n^2) with r = s mod n.
+    """
+    n_b = best_count.astype(np.int64)
+    s_b = s_best.astype(np.int64)
+    sq = (sq_hi.astype(np.int64) << 16) + sq_lo.astype(np.int64)
+    c = s_b // n_b
+    mean_u16 = (c & 0xFFFF).astype(np.uint16)
+    ml = med_lo.astype(np.int64)
+    mh = med_hi.astype(np.int64)
+    median_u16 = (((ml + mh) // 2) & 0xFFFF).astype(np.uint16)
+    d2 = sq - 2 * c * s_b + n_b * c * c
+    r = s_b - c * n_b
+    var_u16 = (((n_b * d2 - r * r) // (n_b * n_b)) & 0xFFFF).astype(np.uint16)
+    return mean_u16, median_u16, var_u16
+
+
 @dataclasses.dataclass
 class KeptKmerArrays:
     """Struct-of-arrays result of a build, sorted by packed k-mer."""
@@ -68,10 +92,23 @@ class KeptKmerArrays:
 def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
     """Device selection pass.  All inputs int32/uint32 1-D of equal length.
 
-    Returns per-entry arrays in kmer-sorted order (see caller).
+    Returns per-entry arrays in kmer-sorted order.  `keep`, `ktotal`,
+    `best_count` and `best_func` are full-segment broadcasts (valid at
+    every entry); `s_best`, the sum-of-squares channels, the medians and
+    `avg_from_end` are valid at k-mer run STARTS, which is where both
+    consumers read them (_select_compact_jax, parallel.build_step.
+    finalize_sharded).
+
+    Scatter-free: reductions are segmented associative scans (ops/
+    segscan.py) instead of segment_sum/min/max + `[segment_id]` gathers —
+    random-access ops are transaction-quantized on TPU and made the first
+    version of this pass ~6x slower (docs/PERF.md, benchmarks/
+    select_bench.py).
     """
     import jax.numpy as jnp
-    from jax import lax, ops as jops
+    from jax import lax
+
+    from ..ops import segscan
 
     n = hi.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -85,8 +122,7 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
     k1 = (hi << jnp.uint32(8)) | (lo >> jnp.uint32(16))
     k2 = ((lo & jnp.uint32(0xFFFF)) << jnp.uint32(16)) \
         | func.astype(jnp.uint32)
-    k1s, k2s, p1, o1, s1 = lax.sort(
-        (k1, k2, plen, off, sid), num_keys=3)
+    k1s, k2s, p1, s1 = lax.sort((k1, k2, plen, sid), num_keys=3)
     hi1 = k1s >> jnp.uint32(8)
     lo1 = ((k1s & jnp.uint32(0xFF)) << jnp.uint32(16)) \
         | (k2s >> jnp.uint32(16))
@@ -97,54 +133,53 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
 
     kstart = (idx == 0) | (hi1 != prev(hi1, 0)) | (lo1 != prev(lo1, 0))
     pstart = kstart | (f1 != prev(f1, -1))
-    kid = jnp.cumsum(kstart.astype(jnp.int32)) - 1
-    pid = jnp.cumsum(pstart.astype(jnp.int32)) - 1
 
-    ones = jnp.ones(n, dtype=jnp.int32)
-    pair_count = jops.segment_sum(ones, pid, num_segments=n,
-                                  indices_are_sorted=True)[pid]
-    ktotal = jops.segment_sum(ones, kid, num_segments=n,
-                              indices_are_sorted=True)[kid]
+    # run extents from monotone cumulative ops: a run's start index
+    # forward-fills with cummax (idx is increasing), the NEXT run's start
+    # index back-fills with a reverse cummin shifted one left.
+    nint = jnp.int32(n)
+
+    def run_pos(flags):
+        start_pos = lax.cummax(jnp.where(flags, idx, 0))
+        nxt = lax.cummin(jnp.where(flags, idx, nint), reverse=True)
+        next_start = jnp.concatenate([nxt[1:], jnp.full((1,), nint, nxt.dtype)])
+        return start_pos, next_start
+
+    kpos, knext = run_pos(kstart)
+    ppos, pnext = run_pos(pstart)
+    ktotal = knext - kpos
+    pair_count = pnext - ppos
 
     # best function per kmer: max pair count, ties -> lowest function index
     # (ref iterates an ordered map replacing only on strictly greater
     # counts, signature_build.tcc:228-248)
-    best_count = jops.segment_max(pair_count, kid, num_segments=n,
-                                  indices_are_sorted=True)[kid]
+    best_count = segscan.seg_bcast(jnp.maximum, kstart, pair_count)
     cand = jnp.where(pair_count == best_count, f1, BIG_I32)
-    best_func = jops.segment_min(cand, kid, num_segments=n,
-                                 indices_are_sorted=True)[kid]
+    best_func = segscan.seg_bcast(jnp.minimum, kstart, cand)
 
     # 80% rule in float32, exactly as the reference compares
     # (signature_build.tcc:250-257)
     keep = ~(best_count.astype(jnp.float32)
              < ktotal.astype(jnp.float32) * jnp.float32(threshold))
 
-    # statistics over the best-function segment (contiguous, plen-sorted)
+    # statistics over the best-function pair (contiguous, plen-sorted):
+    # one reverse (suffix) multi-lane scan, read at run starts.  The
+    # variance is derived on the host from sum(x) and sum(x^2); x^2 can
+    # reach 65535^2 > int32, so it is split into 16-bit channels (each
+    # sum int32-safe to 32767 occurrences), recombined in int64.
     is_best = f1 == best_func
-    pm = jnp.where(is_best, p1, 0)
-    s_best = jops.segment_sum(pm, kid, num_segments=n,
-                              indices_are_sorted=True)[kid]
-    c = s_best // jnp.maximum(best_count, 1)
-    d = jnp.where(is_best, p1 - c, 0)
-    # d^2 can reach 65535^2 > int32; square exactly in uint32 and
-    # accumulate split 16-bit channels (each sum int32-safe to 32767
-    # occurrences), recombined in int64 on the host
-    du = jnp.abs(d).astype(jnp.uint32)
-    sq = du * du
-    sum_d2_hi = jops.segment_sum((sq >> 16).astype(jnp.int32), kid,
-                                 num_segments=n,
-                                 indices_are_sorted=True)[kid]
-    sum_d2_lo = jops.segment_sum((sq & jnp.uint32(0xFFFF)).astype(jnp.int32),
-                                 kid, num_segments=n,
-                                 indices_are_sorted=True)[kid]
+    pu = lax.bitcast_convert_type(p1, jnp.uint32)
+    sq = pu * pu
+    zero = jnp.int32(0)
+    start_best, s_best, sum_sq_hi, sum_sq_lo = segscan.seg_scan(
+        (jnp.minimum, jnp.add, jnp.add, jnp.add), kstart,
+        jnp.where(is_best, ppos, nint),
+        jnp.where(is_best, p1, zero),
+        jnp.where(is_best, (sq >> 16).astype(jnp.int32), zero),
+        jnp.where(is_best, (sq & jnp.uint32(0xFFFF)).astype(jnp.int32), zero),
+        reverse=True)
 
-    # best-pair first index -> median rank selection
-    pair_first = jops.segment_min(idx, pid, num_segments=n,
-                                  indices_are_sorted=True)
-    pid_best = jops.segment_min(jnp.where(is_best, pid, BIG_I32), kid,
-                                num_segments=n, indices_are_sorted=True)[kid]
-    start_best = pair_first[jnp.minimum(pid_best, n - 1)]
+    # median rank selection inside the best pair (valid at run starts)
     med_lo = p1[jnp.clip(start_best + (best_count - 1) // 2, 0, n - 1)]
     med_hi = p1[jnp.clip(start_best + best_count // 2, 0, n - 1)]
 
@@ -156,12 +191,10 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
         | off.astype(jnp.uint32)
     _q1s, q2s = lax.sort((k1, q2), num_keys=2)
     o2 = (q2s & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    kfirst = jops.segment_min(idx, kid, num_segments=n,
-                              indices_are_sorted=True)[kid]
-    avg_from_end = o2[jnp.clip(kfirst + ktotal // 2, 0, n - 1)]
+    avg_from_end = o2[jnp.clip(kpos + ktotal // 2, 0, n - 1)]
 
     return (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
-            s_best, sum_d2_hi, sum_d2_lo, med_lo, med_hi, avg_from_end)
+            s_best, sum_sq_hi, sum_sq_lo, med_lo, med_hi, avg_from_end)
 
 
 def _select_compact_jax(hi, lo, func, off, plen, sid, threshold: float):
@@ -175,7 +208,7 @@ def _select_compact_jax(hi, lo, func, off, plen, sid, threshold: float):
     from jax import lax
 
     (hi1, lo1, s1, kstart, keep, best_func, _ktotal, best_count,
-     s_best, d2_hi, d2_lo, med_lo, med_hi, avg) = _select_signatures_jax(
+     s_best, sq_hi, sq_lo, med_lo, med_hi, avg) = _select_signatures_jax(
         hi, lo, func, off, plen, sid, threshold)
 
     n = hi1.shape[0]
@@ -189,7 +222,7 @@ def _select_compact_jax(hi, lo, func, off, plen, sid, threshold: float):
 
     outs = tuple(compact(x) for x in
                  (hi1, lo1, best_func, best_count, s_best,
-                  d2_hi, d2_lo, med_lo, med_hi, avg))
+                  sq_hi, sq_lo, med_lo, med_hi, avg))
 
     # unique kept sequence ids (seqs_with_a_signature counter,
     # ref: signature_build.h:44-50): sort + boundary compaction
@@ -426,22 +459,12 @@ class SignatureBuilder:
             g = min(g, dev_arr.shape[0])
             return np.asarray(dev_arr[:g])[:m]
 
-        (w_hi, w_lo, best_func, best_count, s_best, d2_hi, d2_lo,
+        (w_hi, w_lo, best_func, best_count, s_best, sq_hi, sq_lo,
          med_lo, med_hi, avg_from_end) = (fetch(a, n_rep) for a in sel[2:12])
         uniq_sids = fetch(sel[12], n_uniq)
 
-        # exact int64 finalization (see FIDELITY.md)
-        n_b = best_count.astype(np.int64)
-        s_b = s_best.astype(np.int64)
-        d2 = (d2_hi.astype(np.int64) << 16) + d2_lo.astype(np.int64)
-        mean_u16 = ((s_b // n_b) & 0xFFFF).astype(np.uint16)
-        ml = med_lo.astype(np.int64)
-        mh = med_hi.astype(np.int64)
-        median_u16 = (((ml + mh) // 2) & 0xFFFF).astype(np.uint16)
-        # var = (n*sum(x^2) - s^2) / n^2 == (n*sum_d2 - r^2) / n^2 with
-        # r = s mod n; exact floor in int64
-        r = s_b - (s_b // n_b) * n_b
-        var_u16 = (((n_b * d2 - r * r) // (n_b * n_b)) & 0xFFFF).astype(np.uint16)
+        mean_u16, median_u16, var_u16 = _finalize_stats_np(
+            best_count, s_best, sq_hi, sq_lo, med_lo, med_hi)
 
         out = KeptKmerArrays(
             hi=w_hi.astype(np.uint32),

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..models.signature_builder import _select_signatures_jax
+from ..models.signature_builder import (_finalize_stats_np,
+                                        _select_signatures_jax)
 from ..ops import hashing
 
 SENTINEL = np.uint32(0xFFFFFF)  # > max valid word 0xCF3CF3 (4x code 51)
@@ -113,20 +114,13 @@ def finalize_sharded(outputs):
     Mirrors SignatureBuilder._select's host step, additionally dropping
     SENTINEL padding groups."""
     (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
-     s_best, sum_d2_hi, sum_d2_lo, med_lo, med_hi,
+     s_best, sum_sq_hi, sum_sq_lo, med_lo, med_hi,
      avg_from_end) = map(np.asarray, outputs)
     reps = kstart & keep & (hi1 != SENTINEL)
     ridx = np.nonzero(reps)[0]
-    n_b = best_count[ridx].astype(np.int64)
-    s_b = s_best[ridx].astype(np.int64)
-    d2 = (sum_d2_hi[ridx].astype(np.int64) << 16) \
-        + sum_d2_lo[ridx].astype(np.int64)
-    mean_u16 = ((s_b // n_b) & 0xFFFF).astype(np.uint16)
-    ml = med_lo[ridx].astype(np.int64)
-    mh = med_hi[ridx].astype(np.int64)
-    median_u16 = (((ml + mh) // 2) & 0xFFFF).astype(np.uint16)
-    r = s_b - (s_b // n_b) * n_b
-    var_u16 = (((n_b * d2 - r * r) // (n_b * n_b)) & 0xFFFF).astype(np.uint16)
+    mean_u16, median_u16, var_u16 = _finalize_stats_np(
+        best_count[ridx], s_best[ridx], sum_sq_hi[ridx], sum_sq_lo[ridx],
+        med_lo[ridx], med_hi[ridx])
     out = dict(
         hi=hi1[ridx].astype(np.uint32),
         lo=lo1[ridx].astype(np.uint32),
