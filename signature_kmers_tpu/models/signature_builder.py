@@ -60,6 +60,75 @@ def _finalize_stats_np(best_count, s_best, sq_hi, sq_lo, med_lo, med_hi):
     return mean_u16, median_u16, var_u16
 
 
+def _finalize_stats_jax(best_count, s_best, sq_hi, sq_lo, med_lo, med_hi):
+    """Device twin of _finalize_stats_np, exact in 32-bit limb arithmetic
+    (TPU has no int64): mean floor, exact median, exact variance floor,
+    each truncated to 16 bits.
+
+    Domain: x = protein_length <= 65535 and <= 32767 occurrences per
+    (k-mer, function) — the same bounds the scan's 16-bit split
+    sum-of-squares channels already assume (FIDELITY.md).  d2 =
+    sum(x^2) - 2*c*sum(x) + n*c^2 is carried in three base-2^16 limbs
+    (<= 48 bits); the variance floor division runs as base-2^12 long
+    division (4 steps, partial values < 2^27), using
+    floor((n*d2 - r^2)/n^2) = (d2 // n) - [ (d2 % n)*n < r^2 ].
+    """
+    import jax.numpy as jnp
+
+    def u(x):
+        return x.astype(jnp.uint32)
+
+    m16 = jnp.uint32(0xFFFF)
+    nb = u(jnp.maximum(best_count, 1))  # compaction padding guard
+    sb = u(s_best)
+    c = sb // nb
+    r = sb - c * nb
+    mean16 = c & m16
+    median16 = ((u(med_lo) + u(med_hi)) >> jnp.uint32(1)) & m16
+
+    # P = sq + n*c^2 and M = 2*c*sb, accumulated in two uint32 lanes of
+    # weight 2^0 / 2^16 (every partial product is < 2^32 on the domain
+    # above), then normalized to three 16-bit limbs
+    c2 = c * c
+    p0 = u(sq_lo) + nb * (c2 & m16)
+    p1 = u(sq_hi) + nb * (c2 >> 16)
+    P0 = p0 & m16
+    pt = p1 + (p0 >> 16)
+    P1 = pt & m16
+    P2 = pt >> 16
+    s2 = sb * jnp.uint32(2)
+    m0 = c * (s2 & m16)
+    m1 = c * (s2 >> 16)
+    M0 = m0 & m16
+    mt = m1 + (m0 >> 16)
+    M1 = mt & m16
+    M2 = mt >> 16
+
+    # d2 = P - M with borrows (mathematically >= 0)
+    i32 = jnp.int32
+    b0 = P0.astype(i32) - M0.astype(i32)
+    b1 = P1.astype(i32) - M1.astype(i32) - (b0 < 0).astype(i32)
+    b2 = P2.astype(i32) - M2.astype(i32) - (b1 < 0).astype(i32)
+    L0 = u(b0 & 0xFFFF)
+    L1 = u(b1 & 0xFFFF)
+    L2 = u(b2 & 0xFFFF)
+
+    # q = d2 // nb, rem = d2 % nb by base-2^12 long division
+    d3 = L2 >> 4
+    d2_ = ((L2 & jnp.uint32(0xF)) << 8) | (L1 >> 8)
+    d1 = ((L1 & jnp.uint32(0xFF)) << 4) | (L0 >> 12)
+    d0 = L0 & jnp.uint32(0xFFF)
+    rem = jnp.zeros_like(nb)
+    q = jnp.zeros_like(nb)
+    for dig in (d3, d2_, d1, d0):
+        v = (rem << jnp.uint32(12)) | dig
+        qd = v // nb
+        rem = v - qd * nb
+        q = (q << jnp.uint32(12)) | qd  # uint32 wrap; only low 16 used
+    var16 = (q - (rem * nb < r * r).astype(jnp.uint32)) & m16
+    return mean16, median16, var16
+
+
 @dataclasses.dataclass
 class KeptKmerArrays:
     """Struct-of-arrays result of a build, sorted by packed k-mer."""
@@ -198,11 +267,16 @@ def _select_signatures_jax(hi, lo, func, off, plen, sid, threshold: float):
 
 
 def _select_compact_jax(hi, lo, func, off, plen, sid, threshold: float):
-    """Selection + device-side compaction for the single-device path.
+    """Selection + device finalization + device-side compaction.
 
-    Returns (n_rep, n_uniq_sids, <10 kept-representative arrays
-    compacted to the front>, uniq_sids) — the host then transfers only
-    prefixes of length n_rep / n_uniq instead of 14 full-length arrays.
+    Returns (n_rep, n_uniq_sids, words (n, 4) uint32, uniq_sids): each
+    kept representative is finalized on device (_finalize_stats_jax) and
+    bit-packed into FOUR words —
+      w0 = hi(24) | lo[23:16];  w1 = lo[15:0] | func(16)
+      w2 = mean(16) | median(16);  w3 = var(16) | avg_from_end(16)
+    — so the host fetches ONE contiguous 16 B/rep block instead of ten
+    int32 arrays (40 B/rep); on a link-attached chip that transfer is
+    the bulk of build time once the corpus upload is packed.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -212,17 +286,24 @@ def _select_compact_jax(hi, lo, func, off, plen, sid, threshold: float):
         hi, lo, func, off, plen, sid, threshold)
 
     n = hi1.shape[0]
+    # drop SENTINEL padding groups (device extraction masks invalid
+    # windows to 0xFFFFFF words; valid words are <= 0xCF3CF3)
+    keep = keep & (hi1 != jnp.uint32(0xFFFFFF))
     reps = kstart & keep
     pos = jnp.cumsum(reps.astype(jnp.int32)) - 1
     n_rep = reps.astype(jnp.int32).sum()
     tgt = jnp.where(reps, pos, jnp.int32(n))  # out of bounds -> dropped
 
-    def compact(x):
-        return jnp.zeros(n, x.dtype).at[tgt].set(x, mode="drop")
-
-    outs = tuple(compact(x) for x in
-                 (hi1, lo1, best_func, best_count, s_best,
-                  sq_hi, sq_lo, med_lo, med_hi, avg))
+    mean16, median16, var16 = _finalize_stats_jax(
+        best_count, s_best, sq_hi, sq_lo, med_lo, med_hi)
+    m16 = jnp.uint32(0xFFFF)
+    w0 = (hi1 << jnp.uint32(8)) | (lo1 >> jnp.uint32(16))
+    w1 = ((lo1 & m16) << jnp.uint32(16)) \
+        | (best_func.astype(jnp.uint32) & m16)
+    w2 = (mean16 << jnp.uint32(16)) | median16
+    w3 = (var16 << jnp.uint32(16)) | (avg.astype(jnp.uint32) & m16)
+    vals = jnp.stack([w0, w1, w2, w3], axis=1)  # (n, 4)
+    words = jnp.zeros((n, 4), jnp.uint32).at[tgt].set(vals, mode="drop")
 
     # unique kept sequence ids (seqs_with_a_signature counter,
     # ref: signature_build.h:44-50): sort + boundary compaction
@@ -235,7 +316,102 @@ def _select_compact_jax(hi, lo, func, off, plen, sid, threshold: float):
     tgtu = jnp.where(first, posu, jnp.int32(n))
     uniq = jnp.zeros(n, ks.dtype).at[tgtu].set(ks, mode="drop")
 
-    return (n_rep, n_uniq) + outs + (uniq,)
+    return n_rep, n_uniq, words, uniq
+
+
+def _windows_from_chunk(codes, sids, fidxs, plens, k):
+    """Host/numpy window extraction over one raw chunk (mesh path only;
+    the single-device path extracts on device, _extract_select_jax).
+
+    Mirrors the reference's per-position loop (signature_build.tcc:
+    162-180): every all-AA window fully inside a sequence yields
+    (hi, lo, func, offset-from-end, protein_length, seq_id).
+    Returns None when the chunk has no valid window.
+    """
+    hi, lo = alphabet.pack_codes_np(codes)
+    nwin = hi.shape[0]
+    if nwin == 0:
+        return None
+    row = np.repeat(np.arange(plens.shape[0], dtype=np.int32),
+                    plens.astype(np.int64))
+    starts = np.zeros(plens.shape[0], dtype=np.int64)
+    np.cumsum(plens[:-1], out=starts[1:])
+    same_seq = row[:nwin] == row[k - 1:]
+    is_aa = alphabet.CODE_IS_AA[codes]
+    c = np.concatenate([[0], np.cumsum(is_aa.astype(np.int32))])
+    ok = same_seq & ((c[k:] - c[:-k]) == k)
+    w = np.nonzero(ok)[0]
+    if w.size == 0:
+        return None
+    r = row[w]
+    local = w - starts[r]
+    off = ((plens[r] - local) & 0xFFFF).astype(np.int32)
+    return hi[w], lo[w], fidxs[r], off, plens[r], sids[r]
+
+
+SENTINEL_WORD = 0xFFFFFF  # > max valid packed word 0xCF3CF3 (4x code 51)
+
+
+def _extract_select_jax(packed_rows, starts, fidxs, plens, sids,
+                        threshold: float):
+    """Device window extraction fused with the compact selection pass.
+
+    packed_rows: (R, 3) uint32 16-code 6-bit rows, every sequence 16-code
+    aligned (the caller's H2D transfer format, ops/kmer_pack); starts:
+    (Bg,) int32 aligned start position per sequence (out-of-range for
+    padding entries); fidxs/plens/sids: (Bg,) int32 per-seq metadata.
+
+    The corpus crosses the link 6-bit packed (0.75 B/residue) instead of
+    as 24 B/window attribute tuples — on a link-attached chip the old
+    upload dominated the whole build (docs/PERF.md).  Per-window
+    attributes are reconstructed with ONE B-sized scatter + a 4-lane
+    forward segmented scan (forward fill from sequence starts); there are
+    no per-residue gathers anywhere.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import kmer_pack, segscan
+
+    codes = kmer_pack.unpack_u6_words(packed_rows)   # (n,) = (R*16,)
+    n = codes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    bnd = jnp.zeros(n, jnp.bool_).at[starts].set(True, mode="drop")
+
+    def at_starts(vals):
+        return jnp.zeros(n, vals.dtype).at[starts].set(vals, mode="drop")
+
+    # forward fill per-seq values from sequence starts: values are >= 0
+    # and non-start positions hold 0, so a segmented running max is a
+    # forward fill.  starts[0] == 0 always (first sequence), so every
+    # position belongs to a segment.
+    fidx_w, plen_w, sid_w, start_ff = segscan.seg_scan(
+        (jnp.maximum, jnp.maximum, jnp.maximum, jnp.maximum), bnd,
+        at_starts(fidxs), at_starts(plens), at_starts(sids),
+        at_starts(starts))
+
+    # start_ff is unique per sequence -> serves as the seq id for the
+    # boundary check; 16-alignment padding has INVALID codes, so windows
+    # touching it fail the all-AA test.
+    hi, lo, valid = kmer_pack.pack_flat_windows(codes, start_ff)
+
+    off = (plen_w - (idx - start_ff)) & jnp.int32(0xFFFF)
+    sen = jnp.uint32(SENTINEL_WORD)
+    zero = jnp.int32(0)
+    return _select_compact_jax(
+        jnp.where(valid, hi, sen), jnp.where(valid, lo, sen),
+        jnp.where(valid, fidx_w, zero), jnp.where(valid, off, zero),
+        jnp.where(valid, plen_w, zero), jnp.where(valid, sid_w, zero),
+        threshold)
+
+
+def _grid(x: int, lo: int = 256) -> int:
+    """Pad to a pow2 / 1.5*pow2 grid so jit compiles O(log n) variants."""
+    g = lo
+    while g < x:
+        g <<= 1
+    if g > lo and (g >> 1) + (g >> 2) >= x:
+        g = (g >> 1) + (g >> 2)
+    return g
 
 
 class SignatureBuilder:
@@ -248,7 +424,8 @@ class SignatureBuilder:
         self.all_fasta_files: list[Path] = []
         self.use_device = use_device
         self.stats = BuildStats()
-        self._attr_chunks: list[tuple] = []
+        # raw corpus chunks: (codes u8, sids i32, fidxs i32, plens i32)
+        self._seq_chunks: list[tuple] = []
 
     # -- metadata (host; mirrors golden) -----------------------------------
 
@@ -288,33 +465,28 @@ class SignatureBuilder:
                 cfile = ckpt / f"extract_{file_number:06d}.npz"
                 if cfile.is_file():
                     z = np.load(cfile)
-                    if z["hi"].shape[0]:
-                        self._attr_chunks.append(tuple(
-                            z[k2] for k2 in ("hi", "lo", "func", "off",
-                                             "plen", "sid")))
+                    if z["plens"].shape[0]:
+                        self._seq_chunks.append(tuple(
+                            z[k2] for k2 in ("codes", "sids", "fidxs",
+                                             "plens")))
                     for fi, cnt in zip(z["stat_func"], z["stat_count"]):
                         self.stats.seqs_with_func[int(fi)] = \
                             self.stats.seqs_with_func.get(int(fi), 0) + int(cnt)
                     continue
-                before = len(self._attr_chunks)
+                before = len(self._seq_chunks)
                 stats_before = dict(self.stats.seqs_with_func)
                 self._extract_file(file_number, path, deleted_fids, k)
-                new = self._attr_chunks[before:]
+                new = self._seq_chunks[before:]
                 if new:
-                    hi = np.concatenate([c[0] for c in new])
-                    lo = np.concatenate([c[1] for c in new])
-                    func = np.concatenate([c[2] for c in new])
-                    off = np.concatenate([c[3] for c in new])
-                    plen = np.concatenate([c[4] for c in new])
-                    sid = np.concatenate([c[5] for c in new])
+                    codes, sids, fidxs, plens = new[0]
                 else:
-                    hi = lo = np.zeros(0, np.uint32)
-                    func = off = plen = sid = np.zeros(0, np.int32)
+                    codes = np.zeros(0, np.uint8)
+                    sids = fidxs = plens = np.zeros(0, np.int32)
                 delta = {fi: cnt - stats_before.get(fi, 0)
                          for fi, cnt in self.stats.seqs_with_func.items()
                          if cnt != stats_before.get(fi, 0)}
-                np.savez(cfile, hi=hi, lo=lo, func=func, off=off,
-                         plen=plen, sid=sid,
+                np.savez(cfile, codes=codes, sids=sids, fidxs=fidxs,
+                         plens=plens,
                          stat_func=np.asarray(list(delta), np.int32),
                          stat_count=np.asarray(list(delta.values()),
                                                np.int32))
@@ -322,6 +494,10 @@ class SignatureBuilder:
             self._extract_file(file_number, path, deleted_fids, k)
 
     def _extract_file(self, file_number, path, deleted_fids, k):
+        """Collect the file's kept sequences as one raw chunk (flat codes
+        + per-seq metadata).  Window extraction happens later — on device
+        for the single-chip path (_select_from_seqs), on the host only
+        for the mesh path (_windows_from_chunk)."""
         seqs = []
         next_id = file_number * self.config.max_seqs_per_file
         batch = fasta_io.read_fasta_batch(path)
@@ -341,63 +517,43 @@ class SignatureBuilder:
                 self.stats.seqs_with_func.get(fidx, 0) + 1
             seqs.append((sid, fidx,
                          batch.codes[batch.offsets[i]:batch.offsets[i + 1]]))
-        if seqs:
-            self._extract_from_seqs(seqs, k)
-
-    def _extract_from_seqs(self, seqs, k):
-        total = sum(len(c) for _, _, c in seqs)
-        codes = np.empty(total, dtype=np.uint8)
-        row = np.empty(total, dtype=np.int32)  # index into seqs
-        pos = 0
-        for i, (_sid, _f, c) in enumerate(seqs):
-            codes[pos:pos + len(c)] = c
-            row[pos:pos + len(c)] = i
-            pos += len(c)
+        if not seqs:
+            return
+        codes = (np.concatenate([c for _, _, c in seqs])
+                 if seqs else np.zeros(0, np.uint8)).astype(np.uint8, copy=False)
         sids = np.asarray([s for s, _, _ in seqs], dtype=np.int32)
         fidxs = np.asarray([f for _, f, _ in seqs], dtype=np.int32)
         plens = np.asarray([len(c) for _, _, c in seqs], dtype=np.int32)
-        starts = np.concatenate([[0], np.cumsum(plens)[:-1]]).astype(np.int32)
-
-        hi, lo = alphabet.pack_codes_np(codes)
-        nwin = hi.shape[0]
-        if nwin == 0:
-            return
-        same_seq = row[:nwin] == row[k - 1:]
-        is_aa = alphabet.CODE_IS_AA[codes]
-        ok = same_seq.copy()
-        win_aa = np.ones(nwin, dtype=bool)
-        c = np.concatenate([[0], np.cumsum(is_aa.astype(np.int32))])
-        win_aa = (c[k:] - c[:-k]) == k
-        ok &= win_aa
-
-        w = np.nonzero(ok)[0]
-        if w.size == 0:
-            return
-        r = row[w]
-        local = w - starts[r]
-        off = ((plens[r] - local) & 0xFFFF).astype(np.int32)
-        self._attr_chunks.append((
-            hi[w], lo[w], fidxs[r], off, plens[r], sids[r]))
+        self._seq_chunks.append((codes, sids, fidxs, plens))
 
     # -- selection ---------------------------------------------------------
 
     def process_kmers(self, mesh=None) -> KeptKmerArrays:
         """Selection pass; with a mesh, windows are dp-sharded and routed
         to k-mer owner shards with all-to-all (parallel/build_step.py)."""
-        if not self._attr_chunks:
+        chunks = self._seq_chunks
+        self._seq_chunks = []
+
+        def empty():
             e16 = np.zeros(0, dtype=np.uint16)
             e32 = np.zeros(0, dtype=np.uint32)
             return KeptKmerArrays(e32, e32, e16, e16, e16, e16, e16)
-        hi = np.concatenate([c[0] for c in self._attr_chunks])
-        lo = np.concatenate([c[1] for c in self._attr_chunks])
-        func = np.concatenate([c[2] for c in self._attr_chunks]).astype(np.int32)
-        off = np.concatenate([c[3] for c in self._attr_chunks]).astype(np.int32)
-        plen = np.concatenate([c[4] for c in self._attr_chunks]).astype(np.int32)
-        sid = np.concatenate([c[5] for c in self._attr_chunks]).astype(np.int32)
-        self._attr_chunks.clear()
+
+        if not chunks:
+            return empty()
         if mesh is not None:
-            return self._select_sharded(mesh, hi, lo, func, off, plen, sid)
-        return self._select(hi, lo, func, off, plen, sid)
+            k = self.config.k
+            attrs = [a for ch in chunks
+                     if (a := _windows_from_chunk(*ch, k)) is not None]
+            if not attrs:
+                return empty()
+            hi, lo, func, off, plen, sid = (
+                np.concatenate([a[i] for a in attrs]) for i in range(6))
+            return self._select_sharded(mesh, hi, lo, func.astype(np.int32),
+                                        off.astype(np.int32),
+                                        plen.astype(np.int32),
+                                        sid.astype(np.int32))
+        return self._select_from_seqs(chunks)
 
     def _select_sharded(self, mesh, hi, lo, func, off, plen, sid) -> KeptKmerArrays:
         from ..parallel import build_step
@@ -431,49 +587,111 @@ class SignatureBuilder:
             np.unique(s1[keep_entry]).tolist())
         return out
 
+    def _select_from_seqs(self, chunks) -> KeptKmerArrays:
+        """Single-device selection from raw chunks: the corpus goes up
+        6-bit packed + 16 B of metadata per SEQUENCE, windows are
+        extracted on device (_extract_select_jax).  The previous design
+        uploaded 24 B per WINDOW — ~30x more link traffic, which
+        dominated the build end-to-end on a link-attached chip."""
+        import jax
+
+        if not self.use_device:
+            raise NotImplementedError("host selection path is golden/build.py")
+        k = self.config.k
+        codes_l, sids_l, fidxs_l, plens_l = [], [], [], []
+        for codes, sids, fidxs, plens in chunks:
+            short = plens < k
+            if short.any():
+                # drop sequences with no possible window so every packed
+                # sequence owns >= 1 row (distinct aligned starts)
+                starts = np.zeros(plens.shape[0], np.int64)
+                np.cumsum(plens[:-1], out=starts[1:])
+                keep = ~short
+                kidx = np.nonzero(keep)[0]
+                codes = (np.concatenate(
+                    [codes[starts[i]:starts[i] + plens[i]] for i in kidx])
+                    if kidx.size else np.zeros(0, np.uint8))
+                sids, fidxs, plens = sids[keep], fidxs[keep], plens[keep]
+            if plens.shape[0]:
+                codes_l.append(codes)
+                sids_l.append(sids)
+                fidxs_l.append(fidxs)
+                plens_l.append(plens)
+        if not plens_l:
+            e16 = np.zeros(0, dtype=np.uint16)
+            e32 = np.zeros(0, dtype=np.uint32)
+            return KeptKmerArrays(e32, e32, e16, e16, e16, e16, e16)
+        codes = np.concatenate(codes_l)
+        sids = np.concatenate(sids_l)
+        fidxs = np.concatenate(fidxs_l)
+        plens = np.concatenate(plens_l)
+
+        from ..ops import kmer_pack
+
+        B = plens.shape[0]
+        offsets = np.zeros(B + 1, np.int64)
+        np.cumsum(plens, out=offsets[1:])
+        spans = -(-plens.astype(np.int64) // kmer_pack.ALIGN)
+        row_start = np.zeros(B + 1, np.int64)
+        np.cumsum(spans, out=row_start[1:])
+        R = _grid(int(row_start[-1]))
+        packed = kmer_pack._pack_u6_rows(codes, offsets, plens, row_start, R)
+        n = R * kmer_pack.ALIGN
+        Bg = _grid(B)
+        starts16 = np.full(Bg, n, np.int32)  # out of range -> dropped
+        starts16[:B] = row_start[:-1] * kmer_pack.ALIGN
+        meta = np.zeros((3, Bg), np.int32)
+        meta[0, :B] = fidxs
+        meta[1, :B] = plens
+        meta[2, :B] = sids
+        sel = jax.jit(_extract_select_jax, static_argnames=("threshold",))(
+            packed, starts16, meta[0], meta[1], meta[2],
+            threshold=self.config.signature_threshold)
+        return self._finalize_compact(sel)
+
     def _select(self, hi, lo, func, off, plen, sid) -> KeptKmerArrays:
+        """Selection from pre-extracted window attribute arrays (mesh
+        fallback and the fuzz tests' direct entry point)."""
         import jax
 
         thresh = self.config.signature_threshold
         if not self.use_device:
             raise NotImplementedError("host selection path is golden/build.py")
 
-        # Device-compacted selection: only the kept representatives (and
-        # the unique kept sequence ids) come back to the host.  The full
-        # per-entry arrays are 14 x n words — transferring them measured
-        # ~1.1 GB for a 20M-window build, dominating build time on a
-        # link-attached chip.
         sel = jax.jit(_select_compact_jax, static_argnames=("threshold",))(
             hi, lo, func, off, plen, sid, threshold=thresh)
+        return self._finalize_compact(sel)
+
+    def _finalize_compact(self, sel) -> KeptKmerArrays:
+        """Fetch the device-compacted, device-finalized selection result.
+
+        Only the kept representatives (16 B each, one contiguous block)
+        and the unique kept sequence ids come back to the host — the
+        full per-entry arrays are 14 x n words, which measured ~1.1 GB
+        for a 20M-window build on a link-attached chip."""
         n_rep = int(sel[0])
         n_uniq = int(sel[1])
 
         def fetch(dev_arr, m):
-            # slice on a pow2 grid so the slice program compiles O(log n)
-            # times, then trim on the host
+            # slice on a sparse size grid so the slice program compiles
+            # O(log n) times, then trim on the host
             if m == 0:
-                return np.zeros(0, dev_arr.dtype)
-            g = 1024
-            while g < m:
-                g <<= 1
-            g = min(g, dev_arr.shape[0])
+                return np.zeros((0,) + dev_arr.shape[1:], dev_arr.dtype)
+            g = min(_grid(m, lo=1024), dev_arr.shape[0])
             return np.asarray(dev_arr[:g])[:m]
 
-        (w_hi, w_lo, best_func, best_count, s_best, sq_hi, sq_lo,
-         med_lo, med_hi, avg_from_end) = (fetch(a, n_rep) for a in sel[2:12])
-        uniq_sids = fetch(sel[12], n_uniq)
-
-        mean_u16, median_u16, var_u16 = _finalize_stats_np(
-            best_count, s_best, sq_hi, sq_lo, med_lo, med_hi)
+        w = fetch(sel[2], n_rep)
+        uniq_sids = fetch(sel[3], n_uniq)
+        w0, w1, w2, w3 = (w[:, i] for i in range(4))
 
         out = KeptKmerArrays(
-            hi=w_hi.astype(np.uint32),
-            lo=w_lo.astype(np.uint32),
-            avg_from_end=(avg_from_end & 0xFFFF).astype(np.uint16),
-            function_index=best_func.astype(np.uint16),
-            mean=mean_u16,
-            median=median_u16,
-            var=var_u16,
+            hi=w0 >> 8,
+            lo=((w0 & 0xFF) << 16) | (w1 >> 16),
+            avg_from_end=(w3 & 0xFFFF).astype(np.uint16),
+            function_index=(w1 & 0xFFFF).astype(np.uint16),
+            mean=(w2 >> 16).astype(np.uint16),
+            median=(w2 & 0xFFFF).astype(np.uint16),
+            var=(w3 >> 16).astype(np.uint16),
         )
         # already sorted by (hi, lo) from the device sort
         self.stats.distinct_signatures = len(out)

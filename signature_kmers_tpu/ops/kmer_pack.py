@@ -213,17 +213,12 @@ def _pack_u6_rows(codes, offsets, lens, row_start, R: int):
     return _pack_u6_rows_np(codes, offsets, lens, row_start, R)
 
 
-def _pack_u6_rows_np(codes, offsets, lens, row_start, R: int):
-    """Numpy spec for the packed row format (host.pack_u6_rows must
-    match byte for byte; tests/test_runtime.py asserts it)."""
-    B = lens.shape[0]
-    flat = np.full(R * ALIGN, alphabet.INVALID_CODE, dtype=np.uint8)
-    for b in range(B):
-        s = int(offsets[b])
-        d = int(row_start[b]) * ALIGN
-        flat[d:d + int(lens[b])] = codes[s:s + int(lens[b])]
-    c = flat.reshape(R, ALIGN).astype(np.uint32)
-    packed = np.empty((R, 3), dtype=np.uint32)
+def _pack16_np(flat: np.ndarray) -> np.ndarray:
+    """Numpy: (N,) uint8 codes with N % 16 == 0 -> (N/16, 3) uint32
+    MSB-first 96-bit rows (the transfer format expand_rows16 /
+    unpack_u6_words invert)."""
+    c = flat.reshape(-1, ALIGN).astype(np.uint32)
+    packed = np.empty((c.shape[0], 3), dtype=np.uint32)
     packed[:, 0] = ((c[:, 0] << 26) | (c[:, 1] << 20) | (c[:, 2] << 14)
                     | (c[:, 3] << 8) | (c[:, 4] << 2) | (c[:, 5] >> 4))
     packed[:, 1] = (((c[:, 5] & 15) << 28) | (c[:, 6] << 22)
@@ -233,6 +228,33 @@ def _pack_u6_rows_np(codes, offsets, lens, row_start, R: int):
                     | (c[:, 12] << 18) | (c[:, 13] << 12) | (c[:, 14] << 6)
                     | c[:, 15])
     return packed
+
+
+def _pack_u6_rows_np(codes, offsets, lens, row_start, R: int):
+    """Numpy spec for the packed row format (host.pack_u6_rows must
+    match byte for byte; tests/test_runtime.py asserts it)."""
+    B = lens.shape[0]
+    flat = np.full(R * ALIGN, alphabet.INVALID_CODE, dtype=np.uint8)
+    for b in range(B):
+        s = int(offsets[b])
+        d = int(row_start[b]) * ALIGN
+        flat[d:d + int(lens[b])] = codes[s:s + int(lens[b])]
+    return _pack16_np(flat)
+
+
+def _unpack16(w0, w1, w2):
+    """Bit-unpack three MSB-first uint32 words -> 16 6-bit codes, stacked
+    on a new trailing axis."""
+    m6 = jnp.uint32(63)
+    return jnp.stack([
+        (w0 >> 26) & m6, (w0 >> 20) & m6, (w0 >> 14) & m6,
+        (w0 >> 8) & m6, (w0 >> 2) & m6,
+        ((w0 << 4) | (w1 >> 28)) & m6,              # straddles w0/w1
+        (w1 >> 22) & m6, (w1 >> 16) & m6, (w1 >> 10) & m6, (w1 >> 4) & m6,
+        ((w1 << 2) | (w2 >> 30)) & m6,              # straddles w1/w2
+        (w2 >> 24) & m6, (w2 >> 18) & m6, (w2 >> 12) & m6,
+        (w2 >> 6) & m6, w2 & m6,
+    ], axis=-1)
 
 
 def expand_rows16(packed_rows, start_row, lengths, L: int):
@@ -245,23 +267,19 @@ def expand_rows16(packed_rows, start_row, lengths, L: int):
     nrow = L // ALIGN
     idx = start_row[:, None] + jnp.arange(nrow, dtype=jnp.int32)[None, :]
     rows = packed_rows[jnp.clip(idx, 0, packed_rows.shape[0] - 1)]
-    w0 = rows[..., 0]
-    w1 = rows[..., 1]
-    w2 = rows[..., 2]
-    m6 = jnp.uint32(63)
-    c = jnp.stack([
-        (w0 >> 26) & m6, (w0 >> 20) & m6, (w0 >> 14) & m6,
-        (w0 >> 8) & m6, (w0 >> 2) & m6,
-        ((w0 << 4) | (w1 >> 28)) & m6,              # straddles w0/w1
-        (w1 >> 22) & m6, (w1 >> 16) & m6, (w1 >> 10) & m6, (w1 >> 4) & m6,
-        ((w1 << 2) | (w2 >> 30)) & m6,              # straddles w1/w2
-        (w2 >> 24) & m6, (w2 >> 18) & m6, (w2 >> 12) & m6,
-        (w2 >> 6) & m6, w2 & m6,
-    ], axis=-1)  # (B, nrow, 16)
+    c = _unpack16(rows[..., 0], rows[..., 1], rows[..., 2])  # (B, nrow, 16)
     codes = c.reshape(c.shape[0], nrow * ALIGN).astype(jnp.uint8)
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     return jnp.where(pos < lengths[:, None], codes,
                      jnp.uint8(alphabet.INVALID_CODE))
+
+
+def unpack_u6_words(packed_rows):
+    """Device: (R, 3) uint32 rows in corpus order (_pack16_np) ->
+    (R*16,) uint8 codes.  No gather — the rows are already in order, so
+    the build-side corpus expand is pure elementwise bit work."""
+    c = _unpack16(packed_rows[:, 0], packed_rows[:, 1], packed_rows[:, 2])
+    return c.reshape(-1).astype(jnp.uint8)
 
 
 def expand_flat(flat_codes, offsets, L: int):
