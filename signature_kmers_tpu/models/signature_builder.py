@@ -26,7 +26,6 @@ from pathlib import Path
 
 import numpy as np
 
-from ..core import alphabet
 from ..core.config import BuildConfig, TableConfig
 from ..core.function_map import FunctionMap, UNDEFINED_FUNCTION
 from ..golden.build import BuildStats
@@ -319,42 +318,11 @@ def _select_compact_jax(hi, lo, func, off, plen, sid, threshold: float):
     return n_rep, n_uniq, words, uniq
 
 
-def _windows_from_chunk(codes, sids, fidxs, plens, k):
-    """Host/numpy window extraction over one raw chunk (mesh path only;
-    the single-device path extracts on device, _extract_select_jax).
-
-    Mirrors the reference's per-position loop (signature_build.tcc:
-    162-180): every all-AA window fully inside a sequence yields
-    (hi, lo, func, offset-from-end, protein_length, seq_id).
-    Returns None when the chunk has no valid window.
-    """
-    hi, lo = alphabet.pack_codes_np(codes)
-    nwin = hi.shape[0]
-    if nwin == 0:
-        return None
-    row = np.repeat(np.arange(plens.shape[0], dtype=np.int32),
-                    plens.astype(np.int64))
-    starts = np.zeros(plens.shape[0], dtype=np.int64)
-    np.cumsum(plens[:-1], out=starts[1:])
-    same_seq = row[:nwin] == row[k - 1:]
-    is_aa = alphabet.CODE_IS_AA[codes]
-    c = np.concatenate([[0], np.cumsum(is_aa.astype(np.int32))])
-    ok = same_seq & ((c[k:] - c[:-k]) == k)
-    w = np.nonzero(ok)[0]
-    if w.size == 0:
-        return None
-    r = row[w]
-    local = w - starts[r]
-    off = ((plens[r] - local) & 0xFFFF).astype(np.int32)
-    return hi[w], lo[w], fidxs[r], off, plens[r], sids[r]
-
-
 SENTINEL_WORD = 0xFFFFFF  # > max valid packed word 0xCF3CF3 (4x code 51)
 
 
-def _extract_select_jax(packed_rows, starts, fidxs, plens, sids,
-                        threshold: float):
-    """Device window extraction fused with the compact selection pass.
+def _extract_windows_jax(packed_rows, starts, fidxs, plens, sids):
+    """Device window extraction from the packed corpus transfer format.
 
     packed_rows: (R, 3) uint32 16-code 6-bit rows, every sequence 16-code
     aligned (the caller's H2D transfer format, ops/kmer_pack); starts:
@@ -367,6 +335,9 @@ def _extract_select_jax(packed_rows, starts, fidxs, plens, sids,
     attributes are reconstructed with ONE B-sized scatter + a 4-lane
     forward segmented scan (forward fill from sequence starts); there are
     no per-residue gathers anywhere.
+
+    Returns (hi, lo, func, off, plen, sid), each (R*16,); invalid window
+    slots carry SENTINEL_WORD keys and zeroed attributes.
     """
     import jax.numpy as jnp
 
@@ -397,11 +368,19 @@ def _extract_select_jax(packed_rows, starts, fidxs, plens, sids,
     off = (plen_w - (idx - start_ff)) & jnp.int32(0xFFFF)
     sen = jnp.uint32(SENTINEL_WORD)
     zero = jnp.int32(0)
-    return _select_compact_jax(
-        jnp.where(valid, hi, sen), jnp.where(valid, lo, sen),
-        jnp.where(valid, fidx_w, zero), jnp.where(valid, off, zero),
-        jnp.where(valid, plen_w, zero), jnp.where(valid, sid_w, zero),
-        threshold)
+    return (jnp.where(valid, hi, sen), jnp.where(valid, lo, sen),
+            jnp.where(valid, fidx_w, zero), jnp.where(valid, off, zero),
+            jnp.where(valid, plen_w, zero), jnp.where(valid, sid_w, zero))
+
+
+def _extract_select_jax(packed_rows, starts, fidxs, plens, sids,
+                        threshold: float):
+    """Device window extraction fused with the compact selection pass
+    (single-chip build; the mesh twin is parallel.build_step.
+    build_step_from_seqs)."""
+    hi, lo, func, off, plen, sid = _extract_windows_jax(
+        packed_rows, starts, fidxs, plens, sids)
+    return _select_compact_jax(hi, lo, func, off, plen, sid, threshold)
 
 
 def _grid(x: int, lo: int = 256) -> int:
@@ -495,9 +474,9 @@ class SignatureBuilder:
 
     def _extract_file(self, file_number, path, deleted_fids, k):
         """Collect the file's kept sequences as one raw chunk (flat codes
-        + per-seq metadata).  Window extraction happens later — on device
-        for the single-chip path (_select_from_seqs), on the host only
-        for the mesh path (_windows_from_chunk)."""
+        + per-seq metadata).  Window extraction happens later, on device:
+        fused with selection single-chip (_select_from_seqs) or per dp
+        shard on a mesh (parallel.build_step.build_step_from_seqs)."""
         seqs = []
         next_id = file_number * self.config.max_seqs_per_file
         batch = fasta_io.read_fasta_batch(path)
@@ -542,36 +521,21 @@ class SignatureBuilder:
         if not chunks:
             return empty()
         if mesh is not None:
-            k = self.config.k
-            attrs = [a for ch in chunks
-                     if (a := _windows_from_chunk(*ch, k)) is not None]
-            if not attrs:
+            cat = self._concat_chunks(chunks)
+            if cat is None:
                 return empty()
-            hi, lo, func, off, plen, sid = (
-                np.concatenate([a[i] for a in attrs]) for i in range(6))
-            return self._select_sharded(mesh, hi, lo, func.astype(np.int32),
-                                        off.astype(np.int32),
-                                        plen.astype(np.int32),
-                                        sid.astype(np.int32))
+            return self._select_sharded(mesh, *cat)
         return self._select_from_seqs(chunks)
 
-    def _select_sharded(self, mesh, hi, lo, func, off, plen, sid) -> KeptKmerArrays:
+    def _select_sharded(self, mesh, codes, sids, fidxs, plens) -> KeptKmerArrays:
+        """Mesh selection from raw chunks: the corpus is dp-sharded in
+        the same packed-row transfer format as the single-chip path,
+        extracted on device per shard, then k-mer-routed with all-to-all
+        (parallel/build_step.py)."""
         from ..parallel import build_step
 
-        ndp = mesh.shape["dp"]
-        n = hi.shape[0]
-        pad = (-n) % ndp
-        if pad:
-            sent = np.full(pad, build_step.SENTINEL, np.uint32)
-            zi = np.zeros(pad, np.int32)
-            hi = np.concatenate([hi, sent])
-            lo = np.concatenate([lo, sent])
-            func = np.concatenate([func, zi])
-            off = np.concatenate([off, zi])
-            plen = np.concatenate([plen, zi])
-            sid = np.concatenate([sid, zi])
-        outs = build_step.build_step_sharded(
-            mesh, hi, lo, func, off, plen, sid,
+        outs = build_step.build_step_from_seqs(
+            mesh, codes, sids, fidxs, plens,
             threshold=self.config.signature_threshold)
         kept = build_step.finalize_sharded(outs)
         out = KeptKmerArrays(**kept)
@@ -587,6 +551,32 @@ class SignatureBuilder:
             np.unique(s1[keep_entry]).tolist())
         return out
 
+    def _concat_chunks(self, chunks):
+        """Concatenate raw chunks, dropping sequences too short for a
+        window (so every packed sequence owns >= 1 row, giving distinct
+        aligned starts).  Returns (codes, sids, fidxs, plens) or None."""
+        k = self.config.k
+        codes_l, sids_l, fidxs_l, plens_l = [], [], [], []
+        for codes, sids, fidxs, plens in chunks:
+            short = plens < k
+            if short.any():
+                starts = np.zeros(plens.shape[0], np.int64)
+                np.cumsum(plens[:-1], out=starts[1:])
+                kidx = np.nonzero(~short)[0]
+                codes = (np.concatenate(
+                    [codes[starts[i]:starts[i] + plens[i]] for i in kidx])
+                    if kidx.size else np.zeros(0, np.uint8))
+                sids, fidxs, plens = sids[kidx], fidxs[kidx], plens[kidx]
+            if plens.shape[0]:
+                codes_l.append(codes)
+                sids_l.append(sids)
+                fidxs_l.append(fidxs)
+                plens_l.append(plens)
+        if not plens_l:
+            return None
+        return (np.concatenate(codes_l), np.concatenate(sids_l),
+                np.concatenate(fidxs_l), np.concatenate(plens_l))
+
     def _select_from_seqs(self, chunks) -> KeptKmerArrays:
         """Single-device selection from raw chunks: the corpus goes up
         6-bit packed + 16 B of metadata per SEQUENCE, windows are
@@ -597,34 +587,12 @@ class SignatureBuilder:
 
         if not self.use_device:
             raise NotImplementedError("host selection path is golden/build.py")
-        k = self.config.k
-        codes_l, sids_l, fidxs_l, plens_l = [], [], [], []
-        for codes, sids, fidxs, plens in chunks:
-            short = plens < k
-            if short.any():
-                # drop sequences with no possible window so every packed
-                # sequence owns >= 1 row (distinct aligned starts)
-                starts = np.zeros(plens.shape[0], np.int64)
-                np.cumsum(plens[:-1], out=starts[1:])
-                keep = ~short
-                kidx = np.nonzero(keep)[0]
-                codes = (np.concatenate(
-                    [codes[starts[i]:starts[i] + plens[i]] for i in kidx])
-                    if kidx.size else np.zeros(0, np.uint8))
-                sids, fidxs, plens = sids[keep], fidxs[keep], plens[keep]
-            if plens.shape[0]:
-                codes_l.append(codes)
-                sids_l.append(sids)
-                fidxs_l.append(fidxs)
-                plens_l.append(plens)
-        if not plens_l:
+        cat = self._concat_chunks(chunks)
+        if cat is None:
             e16 = np.zeros(0, dtype=np.uint16)
             e32 = np.zeros(0, dtype=np.uint32)
             return KeptKmerArrays(e32, e32, e16, e16, e16, e16, e16)
-        codes = np.concatenate(codes_l)
-        sids = np.concatenate(sids_l)
-        fidxs = np.concatenate(fidxs_l)
-        plens = np.concatenate(plens_l)
+        codes, sids, fidxs, plens = cat
 
         from ..ops import kmer_pack
 

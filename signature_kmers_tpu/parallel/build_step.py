@@ -21,20 +21,79 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..models.signature_builder import (_finalize_stats_np,
+from ..models.signature_builder import (_extract_windows_jax,
+                                        _finalize_stats_np, _grid,
                                         _select_signatures_jax)
 from ..ops import hashing
 
 SENTINEL = np.uint32(0xFFFFFF)  # > max valid word 0xCF3CF3 (4x code 51)
 
 
+def _route_and_select(hi_l, lo_l, f_l, o_l, p_l, s_l, ndp: int, cap: int,
+                      threshold: float):
+    """Per-shard body: bucket windows by k-mer owner, all-to-all route,
+    run the local selection pass."""
+    import jax
+    import jax.numpy as jnp
+
+    n_local = hi_l.shape[0]
+    # --- bucket by owner shard -------------------------------------
+    valid = hi_l != SENTINEL
+    if ndp == 1:
+        owner_raw = jnp.zeros_like(hi_l, dtype=jnp.uint32)
+    else:
+        bits = ndp.bit_length() - 1
+        owner_raw = hashing.hash_kmer(hi_l, lo_l, jnp) >> np.uint32(32 - bits)
+    owner = jnp.where(valid, owner_raw, jnp.uint32(ndp))
+    order = jnp.argsort(owner, stable=True)
+    owner_s = owner[order]
+    idx = jnp.arange(n_local, dtype=jnp.int32)
+    # rank within bucket
+    bucket_start = jnp.searchsorted(
+        owner_s, jnp.arange(ndp + 1, dtype=jnp.uint32)).astype(jnp.int32)
+    rank = idx - bucket_start[jnp.minimum(
+        owner_s, jnp.uint32(ndp)).astype(jnp.int32)]
+
+    fields = jnp.stack([
+        jax.lax.bitcast_convert_type(hi_l[order], jnp.int32),
+        jax.lax.bitcast_convert_type(lo_l[order], jnp.int32),
+        f_l[order], o_l[order], p_l[order], s_l[order],
+    ], axis=-1)  # (n_local, 6)
+
+    send = jnp.full((ndp, cap, 6), -1, dtype=jnp.int32)
+    keep_entry = (owner_s < ndp) & (rank < cap)
+    # dropped entries are routed to the out-of-bounds bucket `ndp`
+    # and discarded by mode="drop"
+    send = send.at[
+        jnp.where(keep_entry, owner_s.astype(jnp.int32), ndp),
+        jnp.where(keep_entry, rank, 0)].set(fields, mode="drop")
+
+    recv = jax.lax.all_to_all(send, "dp", split_axis=0, concat_axis=0,
+                              tiled=True)
+    recv = recv.reshape(ndp * cap, 6)
+
+    r_hi = jax.lax.bitcast_convert_type(recv[:, 0], jnp.uint32)
+    r_lo = jax.lax.bitcast_convert_type(recv[:, 1], jnp.uint32)
+    r_valid = recv[:, 2] >= 0
+    r_hi = jnp.where(r_valid, r_hi, SENTINEL)
+    r_lo = jnp.where(r_valid, r_lo, SENTINEL)
+
+    return _select_signatures_jax(
+        r_hi, r_lo,
+        jnp.where(r_valid, recv[:, 2], 0),
+        jnp.where(r_valid, recv[:, 3], 0),
+        jnp.where(r_valid, recv[:, 4], 0),
+        jnp.where(r_valid, recv[:, 5], 0),
+        threshold)
+
+
 def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
                        threshold: float = 0.8, bucket_cap: int | None = None):
-    """Run the sharded selection.  Inputs are global flat arrays whose
-    length is divisible by the dp size.  Returns per-entry arrays (global,
-    padded with SENTINEL groups) matching _select_signatures_jax outputs.
+    """Run the sharded selection from pre-extracted window attributes.
+    Inputs are global flat arrays whose length is divisible by the dp
+    size.  Returns per-entry arrays (global, padded with SENTINEL groups)
+    matching _select_signatures_jax outputs.
     """
-    import jax
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -45,67 +104,103 @@ def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
     n_local = n // ndp
     cap = bucket_cap or n_local  # worst case: every local window same owner
 
-    def route_and_select(hi_l, lo_l, f_l, o_l, p_l, s_l):
-        # --- bucket by owner shard -------------------------------------
-        valid = hi_l != SENTINEL
-        if ndp == 1:
-            owner_raw = jnp.zeros_like(hi_l, dtype=jnp.uint32)
-        else:
-            bits = ndp.bit_length() - 1
-            owner_raw = hashing.hash_kmer(hi_l, lo_l, jnp) >> np.uint32(32 - bits)
-        owner = jnp.where(valid, owner_raw, jnp.uint32(ndp))
-        order = jnp.argsort(owner, stable=True)
-        owner_s = owner[order]
-        idx = jnp.arange(n_local, dtype=jnp.int32)
-        # rank within bucket
-        bucket_start = jnp.searchsorted(
-            owner_s, jnp.arange(ndp + 1, dtype=jnp.uint32)).astype(jnp.int32)
-        rank = idx - bucket_start[jnp.minimum(
-            owner_s, jnp.uint32(ndp)).astype(jnp.int32)]
-
-        fields = jnp.stack([
-            jax.lax.bitcast_convert_type(hi_l[order], jnp.int32),
-            jax.lax.bitcast_convert_type(lo_l[order], jnp.int32),
-            f_l[order], o_l[order], p_l[order], s_l[order],
-        ], axis=-1)  # (n_local, 6)
-
-        send = jnp.full((ndp, cap, 6), -1, dtype=jnp.int32)
-        keep_entry = (owner_s < ndp) & (rank < cap)
-        # dropped entries are routed to the out-of-bounds bucket `ndp`
-        # and discarded by mode="drop"
-        send = send.at[
-            jnp.where(keep_entry, owner_s.astype(jnp.int32), ndp),
-            jnp.where(keep_entry, rank, 0)].set(fields, mode="drop")
-
-        recv = jax.lax.all_to_all(send, "dp", split_axis=0, concat_axis=0,
-                                  tiled=True)  # (ndp*cap? ...)
-        recv = recv.reshape(ndp * cap, 6)
-
-        r_hi = jax.lax.bitcast_convert_type(recv[:, 0], jnp.uint32)
-        r_lo = jax.lax.bitcast_convert_type(recv[:, 1], jnp.uint32)
-        r_valid = recv[:, 2] >= 0
-        r_hi = jnp.where(r_valid, r_hi, SENTINEL)
-        r_lo = jnp.where(r_valid, r_lo, SENTINEL)
-
-        out = _select_signatures_jax(
-            r_hi, r_lo,
-            jnp.where(r_valid, recv[:, 2], 0),
-            jnp.where(r_valid, recv[:, 3], 0),
-            jnp.where(r_valid, recv[:, 4], 0),
-            jnp.where(r_valid, recv[:, 5], 0),
-            threshold)
-        return out
-
     fn = shard_map(
-        route_and_select, mesh=mesh,
+        lambda *a: _route_and_select(*a, ndp, cap, threshold), mesh=mesh,
         in_specs=(P("dp"),) * 6,
         out_specs=(P("dp"),) * 14,
     )
-    import jax.numpy as jnp
-
     return fn(jnp.asarray(hi, jnp.uint32), jnp.asarray(lo, jnp.uint32),
               jnp.asarray(func, jnp.int32), jnp.asarray(off, jnp.int32),
               jnp.asarray(plen, jnp.int32), jnp.asarray(sid, jnp.int32))
+
+
+def pack_corpus_sharded(codes, sids, fidxs, plens, ndp: int):
+    """Host: split sequences into ndp contiguous row-balanced groups and
+    pack each in the 16-code-aligned 6-bit row transfer format
+    (ops/kmer_pack pack_u6_rows layout, native single-pass packer).
+
+    Returns (packed (ndp, Rl, 3) uint32, starts (ndp, Bg) int32,
+    meta (ndp, 3, Bg) int32 [fidx, plen, sid]); padding rows are
+    all-INVALID codes, padding metadata entries point out of range.
+    """
+    from ..ops import kmer_pack
+
+    B = plens.shape[0]
+    spans = -(-plens.astype(np.int64) // kmer_pack.ALIGN)
+    row_cum = np.cumsum(spans)
+    total = int(row_cum[-1]) if B else 0
+    targets = (np.arange(1, ndp) * total) // max(ndp, 1)
+    bounds = np.concatenate(
+        [[0], np.searchsorted(row_cum, targets, side="left"), [B]])
+    seq_off = np.zeros(B + 1, np.int64)
+    np.cumsum(plens, out=seq_off[1:])
+
+    group_rows = [int(row_cum[b - 1] - (row_cum[a - 1] if a else 0))
+                  if b > a else 0
+                  for a, b in zip(bounds[:-1], bounds[1:])]
+    Rl = _grid(max(group_rows))
+    Bg = _grid(int((bounds[1:] - bounds[:-1]).max()))
+    n_loc = Rl * kmer_pack.ALIGN
+
+    packed = np.empty((ndp, Rl, 3), np.uint32)
+    starts = np.full((ndp, Bg), n_loc, np.int32)
+    meta = np.zeros((ndp, 3, Bg), np.int32)
+    for g in range(ndp):
+        a, b = int(bounds[g]), int(bounds[g + 1])
+        pl = plens[a:b]
+        rs = np.zeros(b - a + 1, np.int64)
+        np.cumsum(spans[a:b], out=rs[1:])
+        packed[g] = kmer_pack._pack_u6_rows(
+            codes, seq_off[a:b], pl, rs, Rl)
+        starts[g, :b - a] = rs[:-1] * kmer_pack.ALIGN
+        meta[g, 0, :b - a] = fidxs[a:b]
+        meta[g, 1, :b - a] = pl
+        meta[g, 2, :b - a] = sids[a:b]
+    return packed, starts, meta
+
+
+def build_step_from_seqs_arrays(mesh, packed, starts, fidxs, plens, sids,
+                                threshold: float = 0.8,
+                                bucket_cap: int | None = None):
+    """Device half of build_step_from_seqs: takes pack_corpus_sharded's
+    stacked arrays (jit-friendly — __graft_entry__ traces it inside the
+    multi-chip train step)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ndp = mesh.shape["dp"]
+    n_local = packed.shape[1] * 16
+    cap = bucket_cap or n_local
+
+    def extract_route_select(pk, st, f_l, p_l, s_l):
+        win = _extract_windows_jax(pk[0], st[0], f_l[0], p_l[0], s_l[0])
+        return _route_and_select(*win, ndp, cap, threshold)
+
+    fn = shard_map(
+        extract_route_select, mesh=mesh,
+        in_specs=(P("dp"),) * 5,
+        out_specs=(P("dp"),) * 14,
+    )
+    return fn(packed, starts, fidxs, plens, sids)
+
+
+def build_step_from_seqs(mesh, codes, sids, fidxs, plens,
+                         threshold: float = 0.8,
+                         bucket_cap: int | None = None):
+    """Sharded selection from the raw corpus: sequences are dp-sharded
+    in the 6-bit packed transfer format (0.75 B/residue up the link per
+    shard instead of 24 B/window), windows extracted ON DEVICE per shard
+    (_extract_windows_jax), then k-mer-routed with all-to-all exactly
+    like build_step_sharded."""
+    import jax.numpy as jnp
+
+    ndp = mesh.shape["dp"]
+    packed, starts, meta = pack_corpus_sharded(codes, sids, fidxs, plens,
+                                               ndp)
+    return build_step_from_seqs_arrays(
+        mesh, jnp.asarray(packed), jnp.asarray(starts),
+        jnp.asarray(meta[:, 0]), jnp.asarray(meta[:, 1]),
+        jnp.asarray(meta[:, 2]), threshold, bucket_cap)
 
 
 def finalize_sharded(outputs):

@@ -95,6 +95,47 @@ class TestShardedBuild:
         assert len(kept["hi"]) > 50
 
 
+class TestShardedBuildFromSeqs:
+    def test_matches_single_device_from_seqs(self, mesh8):
+        """Corpus-sharded mesh build (device extraction per dp shard +
+        all-to-all routing) vs the single-device fused path, from the
+        same raw sequences."""
+        from signature_kmers_tpu.core import alphabet
+        from signature_kmers_tpu.models.signature_builder import (
+            SignatureBuilder)
+
+        rng = np.random.default_rng(23)
+        B = 160
+        aa = alphabet.encode_seq(alphabet.AA20)
+        plens = rng.integers(8, 300, B).astype(np.int32)
+        # small alphabet slice -> heavy k-mer sharing across sequences
+        codes = aa[rng.integers(0, 6, int(plens.sum()))].astype(np.uint8)
+        sids = np.arange(B, dtype=np.int32)
+        fidxs = ((np.arange(B) // 8) % 7).astype(np.int32)
+        chunk = (codes, sids, fidxs, plens)
+
+        sb = SignatureBuilder()
+        sb._seq_chunks.append(chunk)
+        single = sb.process_kmers()
+
+        sb2 = SignatureBuilder()
+        sb2._seq_chunks.append(chunk)
+        kept = sb2.process_kmers(mesh=mesh8)
+
+        np.testing.assert_array_equal(kept.hi, single.hi)
+        np.testing.assert_array_equal(kept.lo, single.lo)
+        np.testing.assert_array_equal(kept.function_index,
+                                      single.function_index)
+        np.testing.assert_array_equal(kept.avg_from_end,
+                                      single.avg_from_end)
+        np.testing.assert_array_equal(kept.mean, single.mean)
+        np.testing.assert_array_equal(kept.median, single.median)
+        np.testing.assert_array_equal(kept.var, single.var)
+        assert len(kept) > 0
+        assert (sb2.stats.seqs_with_a_signature
+                == sb.stats.seqs_with_a_signature)
+
+
 class TestShardedNaturalBreaks:
     def test_matches_single_device_cutoff(self, mesh8):
         from signature_kmers_tpu.stats.natural_breaks import (
