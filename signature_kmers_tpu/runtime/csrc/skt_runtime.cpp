@@ -16,10 +16,25 @@
 // this environment).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
+
+// worker thread count for the parallel table placement: SKT_THREADS env
+// override, else hardware concurrency capped at 8 (shared hosts)
+static int skt_threads() {
+    const char *e = getenv("SKT_THREADS");
+    if (e) {
+        int v = atoi(e);
+        if (v > 0) return v > 64 ? 64 : v;
+    }
+    unsigned hc = std::thread::hardware_concurrency();
+    return hc ? (int)(hc < 8u ? hc : 8u) : 1;
+}
 
 extern "C" {
 
@@ -561,50 +576,117 @@ long skt_build_cuckoo(const uint32_t *hi, const uint32_t *lo,
 // input order.  Returns the leftover count, or -1 on a duplicate key
 // (same bucket+tag == same key, since the permutation is injective).
 
+// Parallel + prefetch-pipelined.  The loop is latency-bound: each key
+// touches one random bucket row in a multi-GB region (main + aux + fill
+// lines -> several TLB/cache misses at ~100 ns each).  Buckets/tags are
+// precomputed so the placement loop can software-prefetch PF keys ahead,
+// and threads own disjoint BUCKET ranges while all scanning the key
+// stream in input order — per-bucket first-come order (and thus the
+// output) is identical to the single-thread pass for any thread count.
 long skt_build_wide(const uint32_t *hi, const uint32_t *lo,
                     const uint32_t *v0, const uint32_t *v1,
                     const uint32_t *v2,
                     long n, int bits, uint32_t salt, int S,
                     uint32_t *packed, uint32_t *aux, long *leftover) {
     const long nb = 1L << bits;
-    for (long b = 0; b < nb; b++) {
-        uint32_t *row = packed + b * 2 * S;
-        for (int s = 0; s < S; s++) row[s] = 0xFFFFFFFFu;
-        for (int s = S; s < 2 * S; s++) row[s] = 0;
-    }
-    memset(aux, 0, (size_t)nb * 3 * S * sizeof(uint32_t));
-    std::vector<uint8_t> fill((size_t)nb, 0);
-    long nl = 0;
+    const int T = skt_threads();
     const uint32_t M24 = 0xFFFFFFu;
     static const uint32_t RC[3] = {0x9E3779B9u, 0x85EBCA6Bu, 0xC2B2AE35u};
-    for (long i = 0; i < n; i++) {
-        uint32_t L = hi[i] & M24, R = lo[i] & M24;
-        for (int r = 0; r < 3; r++) {
-            uint32_t F = fmix32(R ^ (salt ^ RC[r])) & M24;
-            uint32_t nL = R, nR = L ^ F;
-            L = nL; R = nR;
+
+    std::vector<uint32_t> bkt((size_t)n), tagv((size_t)n);
+    std::vector<uint8_t> fill((size_t)nb, 0);
+    std::atomic<bool> dup(false);
+    std::vector<std::vector<long>> lo_parts((size_t)T);
+
+    auto phase = [&](int t) {
+        // init: disjoint bucket slices (streaming stores, ~GBs at scale)
+        long b0 = nb * t / T, b1 = nb * (t + 1) / T;
+        for (long b = b0; b < b1; b++) {
+            uint32_t *row = packed + b * 2 * S;
+            for (int s = 0; s < S; s++) row[s] = 0xFFFFFFFFu;
+            for (int s = S; s < 2 * S; s++) row[s] = 0;
         }
-        uint32_t bucket, tag;
-        if (bits <= 24) {
-            bucket = R & ((1u << bits) - 1u);
-            tag = (L << (24 - bits)) | (R >> bits);
-        } else {
-            bucket = ((L & ((1u << (bits - 24)) - 1u)) << 24) | R;
-            tag = L >> (bits - 24);
+        memset(aux + b0 * 3 * S, 0,
+               (size_t)(b1 - b0) * 3 * S * sizeof(uint32_t));
+        // bucket/tag precompute: disjoint key slices
+        long i0 = n * t / T, i1 = n * (t + 1) / T;
+        for (long i = i0; i < i1; i++) {
+            uint32_t L = hi[i] & M24, R = lo[i] & M24;
+            for (int r = 0; r < 3; r++) {
+                uint32_t F = fmix32(R ^ (salt ^ RC[r])) & M24;
+                uint32_t nL = R, nR = L ^ F;
+                L = nL; R = nR;
+            }
+            if (bits <= 24) {
+                bkt[i] = R & ((1u << bits) - 1u);
+                tagv[i] = (L << (24 - bits)) | (R >> bits);
+            } else {
+                bkt[i] = ((L & ((1u << (bits - 24)) - 1u)) << 24) | R;
+                tagv[i] = L >> (bits - 24);
+            }
         }
-        uint32_t *row = packed + (long)bucket * 2 * S;
-        int c = fill[bucket];
-        for (int s = 0; s < c; s++)
-            if (row[s] == tag) return -1;  // duplicate key
-        if (c < S) {
-            row[c] = tag;
-            row[S + c] = ((v0[i] >> 16) << 16) | (v1[i] & 0xFFFFu);
-            uint32_t *arow = aux + (long)bucket * 3 * S;
-            arow[c] = v0[i]; arow[S + c] = v1[i]; arow[2 * S + c] = v2[i];
-            fill[bucket] = (uint8_t)(c + 1);
-        } else {
-            leftover[nl++] = i;
+    };
+    auto place = [&](int t) {
+        const uint32_t b0 = (uint32_t)(nb * t / T);
+        const uint32_t b1 = (uint32_t)(nb * (t + 1) / T);
+        std::vector<long> &lout = lo_parts[(size_t)t];
+        const long PF = 24;  // prefetch distance (keys ahead)
+        for (long i = 0; i < n; i++) {
+            if (i + PF < n) {
+                uint32_t pb = bkt[i + PF];
+                if (pb >= b0 && pb < b1) {
+                    __builtin_prefetch(packed + (long)pb * 2 * S, 1);
+                    __builtin_prefetch(aux + (long)pb * 3 * S, 1);
+                    __builtin_prefetch(fill.data() + pb, 1);
+                }
+            }
+            uint32_t bucket = bkt[i];
+            if (bucket < b0 || bucket >= b1) continue;
+            uint32_t tag = tagv[i];
+            uint32_t *row = packed + (long)bucket * 2 * S;
+            int c = fill[bucket];
+            for (int s = 0; s < c; s++)
+                if (row[s] == tag) { dup.store(true); return; }
+            if (c < S) {
+                row[c] = tag;
+                row[S + c] = ((v0[i] >> 16) << 16) | (v1[i] & 0xFFFFu);
+                uint32_t *arow = aux + (long)bucket * 3 * S;
+                arow[c] = v0[i]; arow[S + c] = v1[i]; arow[2 * S + c] = v2[i];
+                fill[bucket] = (uint8_t)(c + 1);
+            } else {
+                lout.push_back(i);
+            }
         }
+    };
+
+    if (T == 1) {
+        phase(0);
+        place(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; t++) ts.emplace_back(phase, t);
+        for (auto &th : ts) th.join();
+        ts.clear();
+        for (int t = 0; t < T; t++) ts.emplace_back(place, t);
+        for (auto &th : ts) th.join();
+    }
+    if (dup.load()) return -1;
+
+    // merge per-thread leftovers back into global input order (each part
+    // is already ascending)
+    long nl = 0;
+    std::vector<size_t> pos((size_t)T, 0);
+    for (;;) {
+        int best = -1;
+        long bi = 0;
+        for (int t = 0; t < T; t++)
+            if (pos[(size_t)t] < lo_parts[(size_t)t].size()) {
+                long v = lo_parts[(size_t)t][pos[(size_t)t]];
+                if (best < 0 || v < bi) { best = t; bi = v; }
+            }
+        if (best < 0) break;
+        leftover[nl++] = bi;
+        pos[(size_t)best]++;
     }
     return nl;
 }

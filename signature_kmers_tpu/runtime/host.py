@@ -42,7 +42,7 @@ def _load():
             tmp = so.with_suffix(".so.tmp")
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", str(_SRC), "-o", str(tmp)],
+                 "-pthread", "-std=c++17", str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True)
             os.replace(tmp, so)
         lib = ctypes.CDLL(str(so))
