@@ -214,6 +214,9 @@ def _add_matrix(sub):
                         "stderr (the reference vendored the algorithm for "
                         "this but never wired it: calc_natural_breaks.h, "
                         "kmers-matrix-distance.cc:6,27)")
+    p.add_argument("--mesh", action="store_true",
+                   help="psum-combine pair-count blocks over all local "
+                        "devices")
     p.set_defaults(func=cmd_matrix)
 
 
@@ -222,7 +225,12 @@ def cmd_matrix(args):
     table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
     md = MatrixDistance(table, function_index, cfg.distance, cfg.device)
     batch = fasta_io.read_fasta_batch(args.input_file)
-    res = md.compute([batch])
+    if getattr(args, "mesh", False):
+        from ..parallel.mesh import make_mesh
+
+        res = md.compute([batch], mesh=make_mesh())
+    else:
+        res = md.compute([batch])
     out = open(args.output_file, "w") if args.output_file else sys.stdout
     try:
         if args.natural_breaks:

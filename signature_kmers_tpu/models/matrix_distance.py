@@ -44,7 +44,18 @@ class MatrixDistance:
             device_config, use_device=use_device)
         self.hypo_index = self.caller.hypo_index
 
-    def compute(self, batches: list[fasta_io.SequenceBatch]) -> DistanceResult:
+    def compute(self, batches: list[fasta_io.SequenceBatch],
+                mesh=None) -> DistanceResult:
+        """All-vs-all shared-signature-k-mer counts.
+
+        With `mesh`, the incidence blocks are sharded over every mesh
+        device and the partial pair-count matrices combined with a psum —
+        the in-process, collective-reduction replacement for the
+        reference's run-many-jobs-and-merge-text-files scaling
+        (ref: kmers-matrix-distance-folder.cc:108-116,
+        kmers-matrix-distance-merge.cc:125-165).  Counts are exact at any
+        device count: each block contributes integer-valued f32 partial
+        sums, so the reduction order cannot change the result."""
         ids: list[str] = []
         id_to_idx: dict[str, int] = {}
         prot_sizes: dict[str, int] = {}
@@ -102,7 +113,7 @@ class MatrixDistance:
         seqs = seqs[first]
         # dense k-mer ids
         _, kmer_id = np.unique(keys, return_inverse=True)
-        counts = self._pair_counts(kmer_id, seqs, len(ids))
+        counts = self._pair_counts(kmer_id, seqs, len(ids), mesh=mesh)
 
         i1, i2 = np.nonzero(np.triu(counts, k=1))
         pairs = [(int(a), int(b), int(counts[a, b])) for a, b in zip(i1, i2)]
@@ -200,7 +211,7 @@ class MatrixDistance:
         return found & okl
 
     def _pair_counts(self, kmer_id: np.ndarray, seqs: np.ndarray,
-                     n_seqs: int) -> np.ndarray:
+                     n_seqs: int, mesh=None) -> np.ndarray:
         """Blocked incidence matmul: C = sum_b A_b^T A_b."""
         n_kmers = int(kmer_id.max()) + 1 if kmer_id.size else 0
         if n_seqs == 0 or n_kmers == 0:
@@ -237,8 +248,7 @@ class MatrixDistance:
                 ssb[bi, :b - a] = ss[a:b]
                 val[bi, :b - a] = True
 
-            @jax.jit
-            def accum_all(kk_rel, ssb, val):
+            def scan_blocks(kk_rel, ssb, val, axes=()):
                 def body(C, args):
                     kr, sb, v = args
                     A = jnp.zeros((block, S), dtype=jnp.float32)
@@ -247,13 +257,52 @@ class MatrixDistance:
                     return C + jnp.dot(
                         A.T, A, preferred_element_type=jnp.float32), None
 
-                C, _ = jax.lax.scan(
-                    body, jnp.zeros((S, S), dtype=jnp.float32),
-                    (kk_rel, ssb, val))
+                init = jnp.zeros((S, S), dtype=jnp.float32)
+                if axes:
+                    # inside shard_map the xs are device-varying; the
+                    # carry init must be marked varying too
+                    init = jax.lax.pvary(init, axes)
+                C, _ = jax.lax.scan(body, init, (kk_rel, ssb, val))
                 return C
 
-            C = accum_all(jnp.asarray(kk_rel), jnp.asarray(ssb),
-                          jnp.asarray(val))
+            if mesh is not None:
+                # blocks sharded over EVERY mesh device (the dp x tp grid
+                # flattened into one reduction axis); each device scans
+                # its block slice and the partial pair-count matrices
+                # merge with one psum over ICI.
+                from jax.sharding import PartitionSpec as P
+
+                try:
+                    from jax import shard_map
+                except ImportError:  # older jax
+                    from jax.experimental.shard_map import shard_map
+
+                ndev = int(mesh.devices.size)
+                pad = (-nb) % ndev
+                if pad:
+                    kk_rel = np.concatenate(
+                        [kk_rel, np.zeros((pad, cap), np.int32)])
+                    ssb = np.concatenate(
+                        [ssb, np.zeros((pad, cap), np.int32)])
+                    val = np.concatenate(
+                        [val, np.zeros((pad, cap), bool)])
+
+                def local(kk_rel, ssb, val):
+                    part = scan_blocks(kk_rel, ssb, val,
+                                       axes=("dp", "tp"))
+                    return jax.lax.psum(part, ("dp", "tp"))
+
+                fn = jax.jit(shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(("dp", "tp")), P(("dp", "tp")),
+                              P(("dp", "tp"))),
+                    out_specs=P()))
+                C = fn(jnp.asarray(kk_rel), jnp.asarray(ssb),
+                       jnp.asarray(val))
+                return np.asarray(C).astype(np.int64)
+
+            C = jax.jit(scan_blocks)(jnp.asarray(kk_rel), jnp.asarray(ssb),
+                                     jnp.asarray(val))
             return np.asarray(C).astype(np.int64)
         # host fallback
         C = np.zeros((n_seqs, n_seqs), dtype=np.int64)

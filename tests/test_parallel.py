@@ -150,3 +150,30 @@ class TestShardedNaturalBreaks:
         want = score_cutoff(scores.tolist())
         # binned cutoff within one bin width of the exact cutoff
         assert abs(got - want) < (scores.max() - scores.min()) / 1024
+
+
+class TestMeshMatrixDistance:
+    def test_pair_counts_match_single_device(self, mesh8):
+        """Pair-count blocks sharded over all 8 devices + psum must equal
+        the single-device incidence matmul exactly (integer-valued f32
+        partial sums are order-invariant)."""
+        from signature_kmers_tpu.models.matrix_distance import MatrixDistance
+
+        rng = np.random.default_rng(11)
+        n_seqs = 40
+        n_kmers = 3000
+        # ~20 hits per kmer -> heavy pair sharing
+        kmer_id = np.repeat(np.arange(n_kmers), 4)
+        seqs = rng.integers(0, n_seqs, kmer_id.size)
+        # distinct (kmer, seq) pairs, as compute() guarantees
+        pk = kmer_id.astype(np.int64) * n_seqs + seqs
+        pk = np.unique(pk)
+        kmer_id = (pk // n_seqs).astype(np.int64)
+        seqs = (pk % n_seqs).astype(np.int64)
+
+        md = MatrixDistance.__new__(MatrixDistance)
+        md.use_device = True
+        single = md._pair_counts(kmer_id, seqs, n_seqs)
+        sharded = md._pair_counts(kmer_id, seqs, n_seqs, mesh=mesh8)
+        np.testing.assert_array_equal(single, sharded)
+        assert single.sum() > 0
