@@ -1,0 +1,99 @@
+"""Full build-signatures end-to-end benchmark at the reference's scale.
+
+The reference's only published performance number is the README note
+"6:54 for 300K limit on partition" (ref: README.md:4) — a signature
+build capped at 300K sequences.  This benchmark generates a 300K-protein
+corpus ON DISK (FASTA + assignment files, the same layout
+kmers-build-signatures consumes) and times the real CLI end to end:
+native FASTA scan -> function map / keep policy -> packed H2D upload ->
+device window extraction fused with selection -> stats finalize ->
+artifact writes (function.index, final.kmers, kmer_data.npz wide table).
+
+Usage: python benchmarks/e2e_build_bench.py [n_seqs] [--recall]
+Corpus is cached under /tmp/skt_e2e_corpus_<n>/ across runs.
+"""
+
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+
+
+def generate_corpus(root: Path, n_seqs: int, n_genomes: int = 100,
+                    seq_len: int = 300, seed: int = 11):
+    """n_genomes FASTA files; each family's first half is a conserved
+    core shared across genomes (signature-rich), second half random."""
+    per_genome = n_seqs // n_genomes
+    n_funcs = per_genome  # every family present once per genome
+    rng = np.random.default_rng(seed)
+    half = seq_len // 2
+    cores = AA[rng.integers(0, 20, (n_funcs, half))]
+    fasta_dir = root / "Seqs"
+    defs_dir = root / "Annotations"
+    fasta_dir.mkdir(parents=True, exist_ok=True)
+    defs_dir.mkdir(parents=True, exist_ok=True)
+    for g in range(n_genomes):
+        gid = f"{1000 + g}.7"
+        tails = AA[rng.integers(0, 20, (n_funcs, seq_len - half))]
+        seqs = np.concatenate([cores, tails], axis=1)
+        fa, defs = [], []
+        for i in range(n_funcs):
+            fid = f"fig|{gid}.peg.{i + 1}"
+            fa.append(f">{fid}\n{seqs[i].tobytes().decode()}\n")
+            defs.append(f"{fid}\tSynthetic family protein F{i:05d}\n")
+        (fasta_dir / gid).write_text("".join(fa))
+        (defs_dir / gid).write_text("".join(defs))
+    return fasta_dir, defs_dir
+
+
+def main():
+    n_seqs = 300_000
+    recall = "--recall" in sys.argv
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            n_seqs = int(a)
+
+    root = Path(f"/tmp/skt_e2e_corpus_{n_seqs}")
+    marker = root / ".done"
+    if not marker.exists():
+        if root.exists():
+            shutil.rmtree(root)
+        t0 = time.time()
+        generate_corpus(root, n_seqs)
+        marker.touch()
+        print(f"corpus generated in {time.time() - t0:.1f}s -> {root}",
+              flush=True)
+    out = root / "kmer_data"
+    if out.exists():
+        shutil.rmtree(out)
+
+    from signature_kmers_tpu.cli.main import main as cli_main
+
+    args = ["build-signatures",
+            "-D", str(root / "Annotations"),
+            "-F", str(root / "Seqs"),
+            "--kmer-data-dir", str(out),
+            "--final-kmers", "final.kmers"]
+    if not recall:
+        args.append("--no-recall")
+    t0 = time.time()
+    rc = cli_main(args)
+    dt = time.time() - t0
+    assert rc in (0, None), rc
+    n_kept = sum(1 for _ in open(out / "final.kmers"))
+    print(f"end-to-end build ({'with' if recall else 'no'} recall): "
+          f"{dt:.1f}s for {n_seqs} seqs "
+          f"({n_seqs / dt:.0f} seqs/s, {n_kept} kept kmers) — "
+          f"reference README note: 6:54 (414s) for a 300K build",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,12 @@ def write_final_kmers(path, hi: np.ndarray, lo: np.ndarray,
     nondeterministic; sorted order is this framework's canonical spec.
     """
     order = np.lexsort((lo, hi))
+    from ..runtime import host
+
+    if host.available() and host.write_final_kmers(
+            path, hi[order], lo[order], avg_from_end[order],
+            function_index[order], bytes(alphabet.CODE_TO_BYTE)):
+        return
     with open(path, "w", encoding="latin-1") as fh:
         for i in order:
             fh.write(

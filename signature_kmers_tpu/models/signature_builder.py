@@ -324,13 +324,14 @@ SENTINEL_WORD = 0xFFFFFF  # > max valid packed word 0xCF3CF3 (4x code 51)
 def _extract_windows_jax(packed_rows, starts, fidxs, plens, sids):
     """Device window extraction from the packed corpus transfer format.
 
-    packed_rows: (R, 3) uint32 16-code 6-bit rows, every sequence 16-code
-    aligned (the caller's H2D transfer format, ops/kmer_pack); starts:
-    (Bg,) int32 aligned start position per sequence (out-of-range for
-    padding entries); fidxs/plens/sids: (Bg,) int32 per-seq metadata.
+    packed_rows: flat (R*16,) uint8 codes, every sequence 16-code
+    aligned (ops/kmer_pack.pack_u8_rows; see there for why the build
+    ships 8-bit while the caller ships 6-bit); starts: (Bg,) int32
+    aligned start position per sequence (out-of-range for padding
+    entries); fidxs/plens/sids: (Bg,) int32 per-seq metadata.
 
-    The corpus crosses the link 6-bit packed (0.75 B/residue) instead of
-    as 24 B/window attribute tuples — on a link-attached chip the old
+    The corpus crosses the link packed (1 B/residue) instead of as
+    24 B/window attribute tuples — on a link-attached chip the old
     upload dominated the whole build (docs/PERF.md).  Per-window
     attributes are reconstructed with ONE B-sized scatter + a 4-lane
     forward segmented scan (forward fill from sequence starts); there are
@@ -343,7 +344,7 @@ def _extract_windows_jax(packed_rows, starts, fidxs, plens, sids):
 
     from ..ops import kmer_pack, segscan
 
-    codes = kmer_pack.unpack_u6_words(packed_rows)   # (n,) = (R*16,)
+    codes = packed_rows                              # (n,) = (R*16,)
     n = codes.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     bnd = jnp.zeros(n, jnp.bool_).at[starts].set(True, mode="drop")
@@ -378,8 +379,14 @@ def _extract_select_jax(packed_rows, starts, fidxs, plens, sids,
     """Device window extraction fused with the compact selection pass
     (single-chip build; the mesh twin is parallel.build_step.
     build_step_from_seqs)."""
-    hi, lo, func, off, plen, sid = _extract_windows_jax(
-        packed_rows, starts, fidxs, plens, sids)
+    import jax
+
+    # the barrier materializes the extraction outputs once; without it
+    # XLA re-fuses the window shifts + segmented forward fill into every
+    # consumer inside the selection sorts/scans, multiplying generated
+    # code (docs/PERF.md "build program compile")
+    hi, lo, func, off, plen, sid = jax.lax.optimization_barrier(
+        _extract_windows_jax(packed_rows, starts, fidxs, plens, sids))
     return _select_compact_jax(hi, lo, func, off, plen, sid, threshold)
 
 
@@ -579,7 +586,7 @@ class SignatureBuilder:
 
     def _select_from_seqs(self, chunks) -> KeptKmerArrays:
         """Single-device selection from raw chunks: the corpus goes up
-        6-bit packed + 16 B of metadata per SEQUENCE, windows are
+        8-bit packed + 16 B of metadata per SEQUENCE, windows are
         extracted on device (_extract_select_jax).  The previous design
         uploaded 24 B per WINDOW — ~30x more link traffic, which
         dominated the build end-to-end on a link-attached chip."""
@@ -603,7 +610,7 @@ class SignatureBuilder:
         row_start = np.zeros(B + 1, np.int64)
         np.cumsum(spans, out=row_start[1:])
         R = _grid(int(row_start[-1]))
-        packed = kmer_pack._pack_u6_rows(codes, offsets, plens, row_start, R)
+        packed = kmer_pack.pack_u8_rows(codes, offsets, plens, row_start, R)
         n = R * kmer_pack.ALIGN
         Bg = _grid(B)
         starts16 = np.full(Bg, n, np.int32)  # out of range -> dropped

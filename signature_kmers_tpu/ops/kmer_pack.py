@@ -213,6 +213,33 @@ def _pack_u6_rows(codes, offsets, lens, row_start, R: int):
     return _pack_u6_rows_np(codes, offsets, lens, row_start, R)
 
 
+def pack_u8_rows(codes, offsets, lens, row_start, R: int):
+    """Build-corpus transfer format: flat (R*16,) uint8 codes, every
+    sequence starting on a 16-code boundary with INVALID padding — the
+    same row geometry as the caller's 6-bit rows but NO bit packing.
+
+    The BUILD corpus deliberately ships 8-bit: the 6-bit unpack's 16-way
+    stack + interleaving flat reshape made the XLA TPU backend emit
+    ~20 MB of code on its own and balloon the fused extract+select build
+    program to ~1.1 GB of generated code with a 60-90 s compile (and a
+    word-bitcast variant tripped a >20 GB layout-padding OOM).  A flat
+    u8 array needs no device unpack at all.  The corpus crosses the link
+    ONCE per build, so +33% bytes is noise; the CALLER keeps 6-bit rows
+    because query chunks cross the link constantly and their row-gather
+    expand (expand_rows16) never flattens, avoiding the reshape.
+    """
+    flat = np.full(R * ALIGN, alphabet.INVALID_CODE, dtype=np.uint8)
+    B = lens.shape[0]
+    if B:
+        l64 = lens.astype(np.int64)
+        within = np.arange(int(l64.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(l64) - l64, l64)
+        src = np.repeat(np.asarray(offsets[:B], np.int64), l64) + within
+        dst = np.repeat(row_start[:B].astype(np.int64) * ALIGN, l64) + within
+        flat[dst] = codes[src]
+    return flat
+
+
 def _pack16_np(flat: np.ndarray) -> np.ndarray:
     """Numpy: (N,) uint8 codes with N % 16 == 0 -> (N/16, 3) uint32
     MSB-first 96-bit rows (the transfer format expand_rows16 /

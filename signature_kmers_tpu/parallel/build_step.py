@@ -116,10 +116,10 @@ def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
 
 def pack_corpus_sharded(codes, sids, fidxs, plens, ndp: int):
     """Host: split sequences into ndp contiguous row-balanced groups and
-    pack each in the 16-code-aligned 6-bit row transfer format
-    (ops/kmer_pack pack_u6_rows layout, native single-pass packer).
+    pack each in the 16-code-aligned 8-bit row transfer format
+    (ops/kmer_pack.pack_u8_rows; no device unpack — see there).
 
-    Returns (packed (ndp, Rl, 3) uint32, starts (ndp, Bg) int32,
+    Returns (packed (ndp, Rl*16) uint8, starts (ndp, Bg) int32,
     meta (ndp, 3, Bg) int32 [fidx, plen, sid]); padding rows are
     all-INVALID codes, padding metadata entries point out of range.
     """
@@ -142,7 +142,7 @@ def pack_corpus_sharded(codes, sids, fidxs, plens, ndp: int):
     Bg = _grid(int((bounds[1:] - bounds[:-1]).max()))
     n_loc = Rl * kmer_pack.ALIGN
 
-    packed = np.empty((ndp, Rl, 3), np.uint32)
+    packed = np.empty((ndp, Rl * kmer_pack.ALIGN), np.uint8)
     starts = np.full((ndp, Bg), n_loc, np.int32)
     meta = np.zeros((ndp, 3, Bg), np.int32)
     for g in range(ndp):
@@ -150,7 +150,7 @@ def pack_corpus_sharded(codes, sids, fidxs, plens, ndp: int):
         pl = plens[a:b]
         rs = np.zeros(b - a + 1, np.int64)
         np.cumsum(spans[a:b], out=rs[1:])
-        packed[g] = kmer_pack._pack_u6_rows(
+        packed[g] = kmer_pack.pack_u8_rows(
             codes, seq_off[a:b], pl, rs, Rl)
         starts[g, :b - a] = rs[:-1] * kmer_pack.ALIGN
         meta[g, 0, :b - a] = fidxs[a:b]
@@ -169,7 +169,7 @@ def build_step_from_seqs_arrays(mesh, packed, starts, fidxs, plens, sids,
     from jax.sharding import PartitionSpec as P
 
     ndp = mesh.shape["dp"]
-    n_local = packed.shape[1] * 16
+    n_local = packed.shape[1]  # flat u8 codes per shard
     cap = bucket_cap or n_local
 
     def extract_route_select(pk, st, f_l, p_l, s_l):
@@ -188,7 +188,7 @@ def build_step_from_seqs(mesh, codes, sids, fidxs, plens,
                          threshold: float = 0.8,
                          bucket_cap: int | None = None):
     """Sharded selection from the raw corpus: sequences are dp-sharded
-    in the 6-bit packed transfer format (0.75 B/residue up the link per
+    in the 8-bit packed transfer format (1 B/residue up the link per
     shard instead of 24 B/window), windows extracted ON DEVICE per shard
     (_extract_windows_jax), then k-mer-routed with all-to-all exactly
     like build_step_sharded."""

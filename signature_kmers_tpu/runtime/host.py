@@ -101,6 +101,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
         ]
+        lib.skt_write_final_kmers.restype = ctypes.c_long
+        lib.skt_write_final_kmers.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p,
+            ctypes.c_char_p,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -296,3 +302,20 @@ def pack_u6_rows(codes, offsets, lens, row_start, R: int):
     lib.skt_pack_u6_rows(_ptr(codes), _ptr(offsets), _ptr(lens),
                          _ptr(row_start), lens.shape[0], R, _ptr(packed))
     return packed
+
+
+def write_final_kmers(path, hi, lo, avg, fn, decode_bytes: bytes) -> bool:
+    """Buffered native final.kmers text writer (rows in input order;
+    byte-identical to the Python formatter in io/formats.py).  Returns
+    False when the native library is unavailable or the write fails."""
+    lib = _load()
+    if lib is None:
+        return False
+    hi = np.ascontiguousarray(hi, dtype=np.uint32)
+    lo = np.ascontiguousarray(lo, dtype=np.uint32)
+    avg = np.ascontiguousarray(avg, dtype=np.uint16)
+    fn = np.ascontiguousarray(fn, dtype=np.uint16)
+    rc = lib.skt_write_final_kmers(
+        _ptr(hi), _ptr(lo), _ptr(avg), _ptr(fn), hi.shape[0],
+        decode_bytes, str(path).encode())
+    return rc == 0

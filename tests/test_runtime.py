@@ -205,3 +205,30 @@ class TestNativePackU6Rows:
             b = kmer_pack._pack_u6_rows_np(codes, offsets, lens, row_start,
                                            R)
             np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
+
+
+class TestNativeFinalKmersWriter:
+    def test_matches_python_formatter(self, tmp_path):
+        """skt_write_final_kmers must be byte-identical to the Python
+        formatter (io/formats.write_final_kmers fallback path)."""
+        from signature_kmers_tpu.io import formats
+        from signature_kmers_tpu.runtime import host
+
+        if not host.available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(5)
+        n = 20000
+        hi = rng.integers(0, 1 << 24, n).astype(np.uint32)
+        lo = rng.integers(0, 1 << 24, n).astype(np.uint32)
+        avg = rng.integers(0, 65536, n).astype(np.uint16)
+        fn = rng.integers(0, 65536, n).astype(np.uint16)
+        a = tmp_path / "native.kmers"
+        b = tmp_path / "python.kmers"
+        formats.write_final_kmers(a, hi, lo, avg, fn)
+        orig = host.available
+        host.available = lambda: False
+        try:
+            formats.write_final_kmers(b, hi, lo, avg, fn)
+        finally:
+            host.available = orig
+        assert a.read_bytes() == b.read_bytes()
