@@ -308,8 +308,28 @@ class WideKmerTable:
 
     # -- persistence ----------------------------------------------------------
 
-    def save(self, path):
+    def save(self, path, compact: bool = True):
+        """Persist the table.
+
+        compact=True (default) stores the sorted (key, value) entry
+        arrays — 20 B/key on disk vs ~120 B/key for the placed sparse
+        probe layout (measured 5.46 GB -> ~0.9 GB for a 45M-signature
+        build) — and re-places on load (native parallel placement,
+        ~6 s / 20M keys).  compact=False writes the placed arrays
+        verbatim (zero-rebuild load; both formats load transparently).
+        The probe layout is a speed-tuned RAM/HBM shape, not an archive
+        shape — the reference similarly persists key/value data (NuDB /
+        final.kmers) rather than its mmap probe image.
+        """
         path = Path(path)
+        if compact:
+            hi, lo, v0, v1, v2 = self.occupied()
+            np.savez(path.with_suffix(".npz"),
+                     hi=hi, lo=lo, v0=v0, v1=v1, v2=v2)
+            meta = {"n_items": self.n_items, "slots": self.slots,
+                    "format": "skt-wide-compact-v1"}
+            path.with_suffix(".json").write_text(json.dumps(meta))
+            return
         np.savez(path.with_suffix(".npz"), packed=self.packed, aux=self.aux,
                  ov_packed=self.ov_packed, ov_aux=self.ov_aux)
         meta = {"n_items": self.n_items, "ov_items": self.ov_items,
@@ -323,6 +343,11 @@ class WideKmerTable:
         path = Path(path)
         z = np.load(path.with_suffix(".npz"))
         meta = json.loads(path.with_suffix(".json").read_text())
+        if meta.get("format") == "skt-wide-compact-v1":
+            cfg = WideTableConfig() if int(meta.get("slots", 2)) == 2 \
+                else compact_config()
+            return WideKmerTable.build(z["hi"], z["lo"], z["v0"], z["v1"],
+                                       z["v2"], cfg)
         return WideKmerTable(z["packed"], z["aux"], z["ov_packed"],
                              z["ov_aux"], int(meta["salt"]),
                              int(meta["bits"]), int(meta["ov_salt"]),
@@ -336,7 +361,7 @@ class WideKmerTable:
                 and path.with_suffix(".json").is_file()):
             return False
         meta = json.loads(path.with_suffix(".json").read_text())
-        return meta.get("format") == "skt-wide-v2"
+        return meta.get("format") in ("skt-wide-v2", "skt-wide-compact-v1")
 
     # -- device ---------------------------------------------------------------
 

@@ -114,10 +114,10 @@ class TestTableTool:
         rebuilt = tmp_path / "rebuilt"
         assert cli_main(["table-tool", "build", str(dump),
                          str(rebuilt)]) == 0
-        from signature_kmers_tpu.table.bucket_table import BucketKmerTable
+        from signature_kmers_tpu.cli.table_tool import open_table
 
-        t1 = BucketKmerTable.load(data_dir / "kmer_data")
-        t2 = BucketKmerTable.load(rebuilt / "kmer_data")
+        t1 = open_table(data_dir / "kmer_data")
+        t2 = open_table(rebuilt / "kmer_data")
         assert t1.n_items == t2.n_items
 
 

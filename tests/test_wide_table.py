@@ -129,14 +129,25 @@ class TestWideTable:
     def test_save_load(self, tmp_path):
         rng = np.random.default_rng(5)
         t, hi, lo, v0, v1, v2 = self._build(rng, 3000)
-        t.save(tmp_path / "wide")
-        assert WideKmerTable.exists(tmp_path / "wide")
-        assert not BucketKmerTable.exists(tmp_path / "wide")
-        t2 = WideKmerTable.load(tmp_path / "wide")
-        assert t2.n_items == t.n_items and t2.bits == t.bits
-        f, r0, r1, r2 = t2.lookup_np(hi, lo)
-        assert f.all()
-        np.testing.assert_array_equal(r1, v1)
+        # both persistence formats: compact (default; entries only,
+        # re-placed on load) and placed (probe image verbatim)
+        for tag, kwargs in (("compact", {}), ("placed", {"compact": False})):
+            base = tmp_path / f"wide_{tag}"
+            t.save(base, **kwargs)
+            assert WideKmerTable.exists(base)
+            assert not BucketKmerTable.exists(base)
+            t2 = WideKmerTable.load(base)
+            assert t2.n_items == t.n_items
+            f, r0, r1, r2 = t2.lookup_np(hi, lo)
+            assert f.all()
+            np.testing.assert_array_equal(r1, v1)
+            # misses stay misses after a round trip (exact membership)
+            miss_hi = (hi ^ np.uint32(0x5A5A5A)) % np.uint32(1 << 24)
+            fm, *_ = t2.lookup_np(miss_hi, lo)
+            pk = (hi.astype(np.uint64) << 24) | lo
+            mk = (miss_hi.astype(np.uint64) << 24) | lo
+            real = np.isin(mk, pk)
+            assert not fm[~real].any()
 
     def test_empty_and_single(self):
         z = np.zeros(0, dtype=np.uint32)
