@@ -201,6 +201,7 @@ def main():
 
     # --- CPU reference-style baseline -----------------------------------
     vs_baseline = 0.0
+    e2e_vs_baseline = 0.0
     if host.available():
         sub = min(n_queries, 2048)
         so = (offsets[:sub + 1]).astype(np.int64)
@@ -216,6 +217,7 @@ def main():
         print(f"cpu baseline: {cpu_rate:,.0f} seqs/s (single thread, best of 3)",
               file=sys.stderr)
         vs_baseline = value / cpu_rate
+        e2e_vs_baseline = e2e / cpu_rate
 
     print(json.dumps({
         "metric": "call_seqs_per_s_per_chip",
@@ -223,6 +225,7 @@ def main():
         "unit": "seqs/s",
         "vs_baseline": round(vs_baseline, 2),
         "e2e_over_link_seqs_per_s": round(e2e, 1),
+        "e2e_over_link_vs_baseline": round(e2e_vs_baseline, 2),
     }))
 
 

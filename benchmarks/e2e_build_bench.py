@@ -60,13 +60,15 @@ def main():
         if a.isdigit():
             n_seqs = int(a)
 
+    n_genomes = 100
+    n_seqs = (n_seqs // n_genomes) * n_genomes  # what the corpus holds
     root = Path(f"/tmp/skt_e2e_corpus_{n_seqs}")
     marker = root / ".done"
     if not marker.exists():
         if root.exists():
             shutil.rmtree(root)
         t0 = time.time()
-        generate_corpus(root, n_seqs)
+        generate_corpus(root, n_seqs, n_genomes)
         marker.touch()
         print(f"corpus generated in {time.time() - t0:.1f}s -> {root}",
               flush=True)
@@ -87,7 +89,8 @@ def main():
     rc = cli_main(args)
     dt = time.time() - t0
     assert rc in (0, None), rc
-    n_kept = sum(1 for _ in open(out / "final.kmers"))
+    with open(out / "final.kmers") as fh:
+        n_kept = sum(1 for _ in fh)
     print(f"end-to-end build ({'with' if recall else 'no'} recall): "
           f"{dt:.1f}s for {n_seqs} seqs "
           f"({n_seqs / dt:.0f} seqs/s, {n_kept} kept kmers) — "

@@ -216,6 +216,13 @@ class MatrixDistance:
         n_kmers = int(kmer_id.max()) + 1 if kmer_id.size else 0
         if n_seqs == 0 or n_kmers == 0:
             return np.zeros((0, 0), dtype=np.int64)
+        if mesh is not None and not (self.use_device and n_seqs >= 8):
+            import sys
+
+            print("matrix-distance: --mesh ignored (host fallback path: "
+                  f"use_device={self.use_device}, n_seqs={n_seqs} < 8)",
+                  file=sys.stderr)
+            mesh = None
         if self.use_device and n_seqs >= 8:
             import jax
             import jax.numpy as jnp

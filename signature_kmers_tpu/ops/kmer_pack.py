@@ -242,8 +242,9 @@ def pack_u8_rows(codes, offsets, lens, row_start, R: int):
 
 def _pack16_np(flat: np.ndarray) -> np.ndarray:
     """Numpy: (N,) uint8 codes with N % 16 == 0 -> (N/16, 3) uint32
-    MSB-first 96-bit rows (the transfer format expand_rows16 /
-    unpack_u6_words invert)."""
+    MSB-first 96-bit rows (the transfer format expand_rows16 inverts;
+    do NOT add a flat device unpack of this form — the 16-way interleave
+    reshape is the XLA code blowup pack_u8_rows documents)."""
     c = flat.reshape(-1, ALIGN).astype(np.uint32)
     packed = np.empty((c.shape[0], 3), dtype=np.uint32)
     packed[:, 0] = ((c[:, 0] << 26) | (c[:, 1] << 20) | (c[:, 2] << 14)
@@ -299,14 +300,6 @@ def expand_rows16(packed_rows, start_row, lengths, L: int):
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     return jnp.where(pos < lengths[:, None], codes,
                      jnp.uint8(alphabet.INVALID_CODE))
-
-
-def unpack_u6_words(packed_rows):
-    """Device: (R, 3) uint32 rows in corpus order (_pack16_np) ->
-    (R*16,) uint8 codes.  No gather — the rows are already in order, so
-    the build-side corpus expand is pure elementwise bit work."""
-    c = _unpack16(packed_rows[:, 0], packed_rows[:, 1], packed_rows[:, 2])
-    return c.reshape(-1).astype(jnp.uint8)
 
 
 def expand_flat(flat_codes, offsets, L: int):

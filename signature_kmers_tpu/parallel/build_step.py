@@ -130,8 +130,11 @@ def pack_corpus_sharded(codes, sids, fidxs, plens, ndp: int):
     row_cum = np.cumsum(spans)
     total = int(row_cum[-1]) if B else 0
     targets = (np.arange(1, ndp) * total) // max(ndp, 1)
+    # side="right": a sequence whose cumulative row count lands exactly
+    # on a target stays in the LEFT group (side="left" produced an empty
+    # first shard and a doubled last shard on evenly divisible corpora)
     bounds = np.concatenate(
-        [[0], np.searchsorted(row_cum, targets, side="left"), [B]])
+        [[0], np.searchsorted(row_cum, targets, side="right"), [B]])
     seq_off = np.zeros(B + 1, np.int64)
     np.cumsum(plens, out=seq_off[1:])
 

@@ -311,6 +311,13 @@ def write_final_kmers(path, hi, lo, avg, fn, decode_bytes: bytes) -> bool:
     lib = _load()
     if lib is None:
         return False
+    avg = np.asarray(avg)
+    fn = np.asarray(fn)
+    if (avg.size and int(avg.max()) > 0xFFFF) \
+            or (fn.size and int(fn.max()) > 0xFFFF):
+        # wider values than the uint16 native ABI: take the Python path
+        # so the artifact prints the true values
+        return False
     hi = np.ascontiguousarray(hi, dtype=np.uint32)
     lo = np.ascontiguousarray(lo, dtype=np.uint32)
     avg = np.ascontiguousarray(avg, dtype=np.uint16)

@@ -244,7 +244,8 @@ class WideKmerTable:
 
     @staticmethod
     def build(hi, lo, v0, v1, v2,
-              config: WideTableConfig = WideTableConfig()) -> "WideKmerTable":
+              config: WideTableConfig = WideTableConfig(),
+              bits: "int | None" = None) -> "WideKmerTable":
         hi = np.asarray(hi, dtype=np.uint32)
         lo = np.asarray(lo, dtype=np.uint32)
         v0 = np.asarray(v0, dtype=np.uint32)
@@ -262,10 +263,13 @@ class WideKmerTable:
                 raise ValueError("duplicate k-mer keys in table build input")
 
         S = config.slots
-        want_buckets = int(n / (S * config.main_load)) + 1
-        bits = max(config.min_bits,
-                   hashing.next_pow2(want_buckets).bit_length() - 1)
-        bits = min(bits, 30)
+        if bits is None:
+            want_buckets = int(n / (S * config.main_load)) + 1
+            bits = max(config.min_bits,
+                       hashing.next_pow2(want_buckets).bit_length() - 1)
+            bits = min(bits, 30)
+        else:
+            bits = max(config.min_bits, min(int(bits), 30))
 
         salt = _SALT_BASE
         packed, aux, ov_idx = _place_tagged(hi, lo, v0, v1, v2, bits, salt, S)
@@ -326,7 +330,10 @@ class WideKmerTable:
             hi, lo, v0, v1, v2 = self.occupied()
             np.savez(path.with_suffix(".npz"),
                      hi=hi, lo=lo, v0=v0, v1=v1, v2=v2)
+            # enough geometry to rebuild the SAME layout whatever config
+            # produced it: slots + explicit bucket bits
             meta = {"n_items": self.n_items, "slots": self.slots,
+                    "bits": self.bits,
                     "format": "skt-wide-compact-v1"}
             path.with_suffix(".json").write_text(json.dumps(meta))
             return
@@ -344,10 +351,10 @@ class WideKmerTable:
         z = np.load(path.with_suffix(".npz"))
         meta = json.loads(path.with_suffix(".json").read_text())
         if meta.get("format") == "skt-wide-compact-v1":
-            cfg = WideTableConfig() if int(meta.get("slots", 2)) == 2 \
-                else compact_config()
+            cfg = WideTableConfig(slots=int(meta.get("slots", 2)))
             return WideKmerTable.build(z["hi"], z["lo"], z["v0"], z["v1"],
-                                       z["v2"], cfg)
+                                       z["v2"], cfg,
+                                       bits=meta.get("bits"))
         return WideKmerTable(z["packed"], z["aux"], z["ov_packed"],
                              z["ov_aux"], int(meta["salt"]),
                              int(meta["bits"]), int(meta["ov_salt"]),
