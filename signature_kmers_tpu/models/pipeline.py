@@ -128,7 +128,7 @@ def _run_recall(builder: SignatureBuilder, table: KmerTable,
     report_dir = kmer_data_dir / "recall.report.d"
     paths.ensure_directory(report_dir)
     caller = FunctionCaller(table, function_index, config.call,
-                            config.device)
+                            config.device, use_device=builder.use_device)
     for f in builder.all_fasta_files:
         lines = []
         for res in caller.call_file(f):

@@ -390,6 +390,152 @@ def _extract_select_jax(packed_rows, starts, fidxs, plens, sids,
     return _select_compact_jax(hi, lo, func, off, plen, sid, threshold)
 
 
+def _extract_windows_np(codes, fidxs, plens, sids, k: int):
+    """Host (numpy) window extraction from a concatenated corpus.
+
+    Twin of _extract_windows_jax for the --host-only path: same validity
+    rule (all K residues in the 20-AA whitelist, window fully inside one
+    sequence; ref: signature_build.h:102-103, signature_build.tcc:162-180)
+    and the same offset definition (distance from window start to protein
+    end, truncated to uint16; ref: signature_build.tcc:164).  Returns only
+    the VALID windows as (hi, lo, func, off, plen, sid).
+    """
+    from ..core import alphabet
+
+    if k != alphabet.K:
+        raise ValueError(f"packed extraction requires k == {alphabet.K}")
+    n = int(codes.shape[0])
+    B = int(plens.shape[0])
+    e32 = np.zeros(0, np.uint32)
+    e_i32 = np.zeros(0, np.int32)
+    if n < k or B == 0:
+        return e32, e32, e_i32, e_i32, e_i32, e_i32
+    p64 = plens.astype(np.int64)
+    starts = np.zeros(B, np.int64)
+    np.cumsum(p64[:-1], out=starts[1:])
+    seq_ord = np.repeat(np.arange(B, dtype=np.int64), p64)
+
+    W = n - k + 1
+    c = codes.astype(np.uint32)
+    hi = (c[0:W] << 18) | (c[1:W + 1] << 12) | (c[2:W + 2] << 6) | c[3:W + 3]
+    lo = (c[4:W + 4] << 18) | (c[5:W + 5] << 12) \
+        | (c[6:W + 6] << 6) | c[7:W + 7]
+
+    is_aa = alphabet.CODE_IS_AA[codes]
+    cc = np.zeros(n + 1, np.int64)
+    np.cumsum(is_aa, out=cc[1:])
+    all_aa = (cc[k:] - cc[:-k]) == k            # (W,)
+    in_seq = seq_ord[:W] == seq_ord[k - 1:]     # first/last residue same seq
+    widx = np.nonzero(all_aa & in_seq)[0]
+
+    so = seq_ord[widx]
+    off = (p64[so] - (widx - starts[so])) & 0xFFFF
+    return (hi[widx], lo[widx], fidxs[so].astype(np.int32),
+            off.astype(np.int32), plens[so].astype(np.int32),
+            sids[so].astype(np.int32))
+
+
+def _select_np(hi, lo, func, off, plen, sid, threshold: float):
+    """Host (numpy) twin of _select_compact_jax.
+
+    Identical selection semantics — same (kmer, function, plen) sort,
+    the same float32 80%% compare (signature_build.tcc:250-257), ties to
+    the lowest function index (:228-248), and the same exact statistics
+    finalization (_finalize_stats_np).  Used by the --host-only build and
+    as a differential oracle for the device pass.
+
+    Returns (KeptKmerArrays, kept_entry_sids): the kept signatures sorted
+    by packed k-mer, plus the unique sequence ids contributing to any
+    kept k-mer (seqs_with_a_signature, ref: signature_build.h:44-50).
+    """
+    hi = np.asarray(hi, dtype=np.uint32)
+    lo = np.asarray(lo, dtype=np.uint32)
+    func = np.asarray(func)
+    off = np.asarray(off)
+    plen = np.asarray(plen)
+    sid = np.asarray(sid)
+
+    def empty():
+        e16 = np.zeros(0, dtype=np.uint16)
+        e32 = np.zeros(0, dtype=np.uint32)
+        return (KeptKmerArrays(e32, e32, e16, e16, e16, e16, e16),
+                np.zeros(0, dtype=np.int64))
+
+    n = int(hi.shape[0])
+    if n == 0:
+        return empty()
+
+    key = (hi.astype(np.uint64) << np.uint64(24)) | lo.astype(np.uint64)
+    order = np.lexsort((plen, func, key))
+    k_s = key[order]
+    f_s = func[order].astype(np.int64)
+    p_s = plen[order].astype(np.int64)
+    s_s = sid[order]
+
+    kstart = np.empty(n, dtype=bool)
+    kstart[0] = True
+    np.not_equal(k_s[1:], k_s[:-1], out=kstart[1:])
+    pstart = kstart.copy()
+    pstart[1:] |= f_s[1:] != f_s[:-1]
+
+    gid = np.cumsum(kstart) - 1                        # kmer group per entry
+    gstart_idx = np.nonzero(kstart)[0]
+    ktotal = np.diff(np.append(gstart_idx, n))
+    pstart_idx = np.nonzero(pstart)[0]
+    pair_count = np.diff(np.append(pstart_idx, n))
+
+    pair_is_gstart = kstart[pstart_idx]
+    gstart_pairs = np.nonzero(pair_is_gstart)[0]
+    pair_gid = np.cumsum(pair_is_gstart) - 1
+    best_count = np.maximum.reduceat(pair_count, gstart_pairs)
+    # ties -> lowest function index; pairs are func-sorted within a group,
+    # so the first pair achieving the max count has the lowest index
+    cand = pair_count == best_count[pair_gid]
+    npairs = pair_count.shape[0]
+    best_pair = np.minimum.reduceat(
+        np.where(cand, np.arange(npairs, dtype=np.int64), np.int64(npairs)),
+        gstart_pairs)
+    best_func = f_s[pstart_idx[best_pair]]
+
+    keep = ~(best_count.astype(np.float32)
+             < ktotal.astype(np.float32) * np.float32(threshold))
+    if not keep.any():
+        return empty()
+
+    # statistics over the best-function run (contiguous, plen-sorted)
+    sbe = pstart_idx[best_pair]
+    cnt = best_count
+    cs = np.zeros(n + 1, np.int64)
+    np.cumsum(p_s, out=cs[1:])
+    s_best = cs[sbe + cnt] - cs[sbe]
+    csq = np.zeros(n + 1, np.int64)
+    np.cumsum(p_s * p_s, out=csq[1:])
+    sumsq = csq[sbe + cnt] - csq[sbe]
+    med_lo = p_s[sbe + (cnt - 1) // 2]
+    med_hi = p_s[sbe + cnt // 2]
+    mean16, median16, var16 = _finalize_stats_np(
+        cnt, s_best, sumsq >> 16, sumsq & 0xFFFF, med_lo, med_hi)
+
+    # avg_from_end = upper median of ALL offsets in the kmer group
+    # (signature_build.tcc:281-282); lexsort is stable and the primary key
+    # is identical, so group boundaries land at the same indices
+    o2 = np.asarray(off)[np.lexsort((off, key))].astype(np.int64)
+    avg = o2[gstart_idx + ktotal // 2]
+
+    kk = k_s[gstart_idx][keep]
+    out = KeptKmerArrays(
+        hi=(kk >> np.uint64(24)).astype(np.uint32),
+        lo=(kk & np.uint64(0xFFFFFF)).astype(np.uint32),
+        avg_from_end=(avg[keep] & 0xFFFF).astype(np.uint16),
+        function_index=(best_func[keep] & 0xFFFF).astype(np.uint16),
+        mean=mean16[keep],
+        median=median16[keep],
+        var=var16[keep],
+    )
+    kept_sids = np.unique(s_s[keep[gid]])
+    return out, kept_sids
+
+
 def _grid(x: int, lo: int = 256) -> int:
     """Pad to a pow2 / 1.5*pow2 grid so jit compiles O(log n) variants."""
     g = lo
@@ -590,16 +736,21 @@ class SignatureBuilder:
         extracted on device (_extract_select_jax).  The previous design
         uploaded 24 B per WINDOW — ~30x more link traffic, which
         dominated the build end-to-end on a link-attached chip."""
-        import jax
-
-        if not self.use_device:
-            raise NotImplementedError("host selection path is golden/build.py")
         cat = self._concat_chunks(chunks)
         if cat is None:
             e16 = np.zeros(0, dtype=np.uint16)
             e32 = np.zeros(0, dtype=np.uint32)
             return KeptKmerArrays(e32, e32, e16, e16, e16, e16, e16)
         codes, sids, fidxs, plens = cat
+
+        if not self.use_device:
+            win = _extract_windows_np(codes, fidxs, plens, sids,
+                                      self.config.k)
+            out, kept_sids = _select_np(
+                *win, threshold=self.config.signature_threshold)
+            return self._finalize_host(out, kept_sids)
+
+        import jax
 
         from ..ops import kmer_pack
 
@@ -631,11 +782,23 @@ class SignatureBuilder:
 
         thresh = self.config.signature_threshold
         if not self.use_device:
-            raise NotImplementedError("host selection path is golden/build.py")
+            out, kept_sids = _select_np(hi, lo, func, off, plen, sid,
+                                        threshold=thresh)
+            return self._finalize_host(out, kept_sids)
 
         sel = jax.jit(_select_compact_jax, static_argnames=("threshold",))(
             hi, lo, func, off, plen, sid, threshold=thresh)
         return self._finalize_compact(sel)
+
+    def _finalize_host(self, out: KeptKmerArrays, kept_sids) -> KeptKmerArrays:
+        """Record build statistics for the numpy selection result
+        (host twin of the tail of _finalize_compact)."""
+        self.stats.distinct_signatures = len(out)
+        bf, cnt = np.unique(out.function_index, return_counts=True)
+        self.stats.distinct_functions = dict(zip(bf.tolist(), cnt.tolist()))
+        self.stats.seqs_with_a_signature = set(
+            int(x) for x in kept_sids.tolist())
+        return out
 
     def _finalize_compact(self, sel) -> KeptKmerArrays:
         """Fetch the device-compacted, device-finalized selection result.
