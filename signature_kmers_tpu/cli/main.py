@@ -38,14 +38,14 @@ def _add_build(sub):
     p.add_argument("--min-reps-required", type=int, default=3)
     p.add_argument("--n-threads", type=int, default=1)  # accepted for parity
     p.add_argument("--nudb-file",
-                   help="also save the table under this base path "
-                        "(ref's NuDB output; one store format here)")
+                   help="also write a real NuDB .dat/.key store at this "
+                        "base path (ref: kmers-build-signatures.cc:351-355)")
     p.add_argument("--perfect-hash",
-                   help="also save the table under this base path "
-                        "(ref's CMPH output; one store format here)")
+                   help="also write a real CMPH BDZ .mph file here "
+                        "(ref: kmers-build-signatures.cc:253-264)")
     p.add_argument("--perfect-hash-data",
-                   help="accepted for reference CLI parity (the store is "
-                        "a single npz; no separate data file)")
+                   help="flat StoredKmerData array for --perfect-hash "
+                        "(default: <perfect-hash>.data)")
     p.add_argument("--kept-log")
     p.add_argument("--no-recall", action="store_true")
     p.add_argument("--checkpoint", action="store_true",
@@ -83,6 +83,7 @@ def cmd_build(args):
         final_kmers=args.final_kmers,
         nudb_file=args.nudb_file,
         perfect_hash=args.perfect_hash,
+        perfect_hash_data=args.perfect_hash_data,
         recall=not args.no_recall,
         kept_log=args.kept_log,
         checkpoint=args.checkpoint,
@@ -112,6 +113,11 @@ def _add_call(sub):
                    help="shard work over all local devices (dp x tp mesh)")
     p.add_argument("--tp", type=int, default=None,
                    help="table-parallel shards within the mesh")
+    p.add_argument("--cmph-aliasing", action="store_true",
+                   help="when the data dir holds a reference CMPH store, "
+                        "probe it with the reference's aliasing semantics "
+                        "(no membership check, cmph_kmer.h:138-147) "
+                        "instead of importing to an exact table")
     p.set_defaults(func=cmd_call)
 
 
@@ -122,7 +128,9 @@ def cmd_call(args):
 
     distributed.initialize()
     cfg = Config()
-    table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
+    table, function_index = pipeline.load_data_dir(
+        args.data_dir, cfg,
+        cmph_aliasing=getattr(args, "cmph_aliasing", False))
     call_cfg = dataclasses.replace(cfg.call,
                                    ignore_hypothetical=args.ignore_hypo)
     if getattr(args, "mesh", False):

@@ -8,6 +8,9 @@ from a final.kmers text dump), plus info/dump utilities.
   skt table-tool dump   <data-dir> [-o out]        # -> final.kmers text
   skt table-tool build  <final.kmers> <data-dir>   # text -> table
   skt table-tool verify <data-dir>                 # probe every stored key
+  skt table-tool import <src-dir> <dst-dir>        # reference store -> native
+  skt table-tool export-cmph <data-dir> <base>     # native -> .mph + .dat
+  skt table-tool export-nudb <data-dir> <base>     # native -> NuDB .dat/.key
 """
 
 from __future__ import annotations
@@ -93,6 +96,66 @@ def cmd_verify(args):
     return 0 if ok and false_hits == 0 else 1
 
 
+def _stats_from_occupied(t):
+    hi, lo, v0, v1, v2 = t.occupied()
+    return (hi, lo, (v0 & 0xFFFF).astype(np.uint16),
+            (v0 >> 16).astype(np.uint16), (v1 & 0xFFFF).astype(np.uint16),
+            (v1 >> 16).astype(np.uint16), (v2 & 0xFFFF).astype(np.uint16))
+
+
+def cmd_import(args):
+    """Import a reference-format store (CMPH .mph+.dat or NuDB .dat/.key,
+    auto-detected by pipeline.load_data_dir) into the native layout."""
+    from ..models import pipeline
+
+    table, _fi = pipeline.load_data_dir(args.src_dir)
+    if not hasattr(table, "occupied"):
+        print("source is a keyless CMPH store and no final.kmers was "
+              "found; cannot enumerate entries", file=sys.stderr)
+        return 1
+    out = Path(args.dst_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    table.save(out / "kmer_data")
+    src_fi = Path(args.src_dir) / "function.index"
+    if src_fi.is_file() and not (out / "function.index").exists():
+        (out / "function.index").write_bytes(src_fi.read_bytes())
+    print(f"imported {table.n_items} kmers into {out}")
+    return 0
+
+
+def cmd_export_cmph(args):
+    """Write a reference-consumable CMPH BDZ store (.mph + .dat pair,
+    ref: perfect_hash.h:28-63) from a native table."""
+    from ..interop import cmph as cmph_io
+
+    t = open_table(Path(args.data_dir) / "kmer_data")
+    Path(args.base).parent.mkdir(parents=True, exist_ok=True)
+    mph = cmph_io.write_cmph_store(args.base, *_stats_from_occupied(t))
+    print(f"wrote {args.base}.mph + .dat ({mph.m} keys, n={mph.n})")
+    return 0
+
+
+def cmd_export_nudb(args):
+    """Write a reference-consumable NuDB store (.dat/.key pair,
+    ref: nudb_kmer_db.h:55-63) from a native table."""
+    from ..interop import cmph as cmph_io, nudb as nudb_io
+
+    t = open_table(Path(args.data_dir) / "kmer_data")
+    hi, lo, avg, fn, mean, median, var = _stats_from_occupied(t)
+    keys = cmph_io.keys_from_packed(hi, lo)
+    vals = np.zeros(hi.shape[0], dtype=cmph_io.STORED_KMER_DTYPE)
+    vals["avg_from_end"] = avg
+    vals["function_index"] = fn
+    vals["mean"] = mean
+    vals["median"] = median
+    vals["var"] = var
+    Path(args.base).parent.mkdir(parents=True, exist_ok=True)
+    nudb_io.write_nudb(args.base, keys,
+                       vals.view(np.uint8).reshape(hi.shape[0], -1))
+    print(f"wrote {args.base}.dat + .key ({hi.shape[0]} keys)")
+    return 0
+
+
 def add_subparsers(sub):
     p = sub.add_parser("table-tool", help="signature-table tools")
     ss = p.add_subparsers(dest="table_cmd", required=True)
@@ -111,3 +174,18 @@ def add_subparsers(sub):
     pv = ss.add_parser("verify")
     pv.add_argument("data_dir")
     pv.set_defaults(func=cmd_verify)
+    pim = ss.add_parser("import",
+                        help="reference CMPH/NuDB store -> native table")
+    pim.add_argument("src_dir")
+    pim.add_argument("dst_dir")
+    pim.set_defaults(func=cmd_import)
+    pec = ss.add_parser("export-cmph",
+                        help="native table -> CMPH .mph + .dat")
+    pec.add_argument("data_dir")
+    pec.add_argument("base")
+    pec.set_defaults(func=cmd_export_cmph)
+    pen = ss.add_parser("export-nudb",
+                        help="native table -> NuDB .dat/.key")
+    pen.add_argument("data_dir")
+    pen.add_argument("base")
+    pen.set_defaults(func=cmd_export_nudb)

@@ -12,6 +12,8 @@ from __future__ import annotations
 import dataclasses
 from pathlib import Path
 
+import numpy as np
+
 from ..core.config import Config
 from ..io import formats
 from ..models.function_caller import FunctionCaller
@@ -49,6 +51,7 @@ def run_build(
     mesh=None,
     nudb_file=None,
     perfect_hash=None,
+    perfect_hash_data=None,
 ) -> BuildResult:
     builder = SignatureBuilder(config.build, kept_log, use_device=use_device)
 
@@ -101,17 +104,38 @@ def run_build(
     table = kept.to_table(config.table)
     if write_table and kmer_data_dir:
         table.save(kmer_data_dir / "kmer_data")
-    # CLI-compat alternative store outputs (ref: --nudb-file writes a NuDB
-    # triple, kmers-build-signatures.cc:351-355; --perfect-hash{,-data}
-    # write the CMPH MPH + value array, :253-264).  This framework has
-    # one store format (npz + json, loadable straight into HBM), written
-    # under the requested base paths.
-    for extra in (nudb_file, perfect_hash):
-        if extra:
-            p = Path(extra)
-            if not p.is_absolute() and kmer_data_dir:
-                p = kmer_data_dir / p
-            table.save(p)
+
+    def _resolve(p):
+        p = Path(p)
+        if not p.is_absolute() and kmer_data_dir:
+            p = kmer_data_dir / p
+        return p
+
+    if nudb_file:
+        # real NuDB .dat/.key pair, fetchable by the reference binaries
+        # (ref: kmers-build-signatures.cc:351-355, nudb_kmer_db.h:55-63)
+        from ..interop import cmph as cmph_io, nudb as nudb_io
+
+        keys = cmph_io.keys_from_packed(kept.hi, kept.lo)
+        vals = np.zeros(len(kept), dtype=cmph_io.STORED_KMER_DTYPE)
+        vals["avg_from_end"] = kept.avg_from_end
+        vals["function_index"] = kept.function_index
+        vals["mean"] = kept.mean
+        vals["median"] = kept.median
+        vals["var"] = kept.var
+        nudb_io.write_nudb(_resolve(nudb_file), keys,
+                           vals.view(np.uint8).reshape(len(kept), -1))
+    if perfect_hash:
+        # real CMPH BDZ .mph + flat StoredKmerData array
+        # (ref: kmers-build-signatures.cc:253-264, perfect_hash.h:11-69)
+        from ..interop import cmph as cmph_io
+
+        mph_path = _resolve(perfect_hash)
+        dat_path = (_resolve(perfect_hash_data) if perfect_hash_data
+                    else Path(str(mph_path) + ".data"))
+        cmph_io.write_cmph_files(
+            mph_path, dat_path, kept.hi, kept.lo, kept.avg_from_end,
+            kept.function_index, kept.mean, kept.median, kept.var)
 
     if recall and kmer_data_dir:
         _run_recall(builder, table, function_index, kmer_data_dir, config)
@@ -143,17 +167,29 @@ def _run_recall(builder: SignatureBuilder, table: KmerTable,
 
 
 def load_data_dir(data_dir, config: Config = Config(),
-                  use_device: bool = True):
+                  use_device: bool = True, cmph_aliasing: bool = False):
     """Open a built data dir -> (table, function_index).
 
-    Reads the signature table (kmer_data.{npz,json}) and function.index,
-    the same layout the reference CLIs consume
-    (ref: kmers-call-functions.cc:93-106)."""
+    Accepts, in priority order:
+      1. this framework's store (kmer_data.{npz,json});
+      2. a reference CMPH store (kmer_data.mph + kmer_data.dat, the pair
+         kmers-call-functions opens, kmers-call-functions.cc:93-98) —
+         with final.kmers present the keys are known and the store
+         imports into an exact-membership native table; without it (or
+         with cmph_aliasing=True) it probes through CmphKmerTable with
+         the reference's verified-membership-free aliasing semantics
+         (cmph_kmer.h:138-147);
+      3. a reference NuDB store (kmer_data.dat magic "nudb.dat",
+         nudb_kmer_db.h:32-63) — full key+value import from the dat log;
+      4. a final.kmers text dump (partial values).
+    """
     from ..table import table_from_stats
     from ..table.wide_table import WideKmerTable
 
     data_dir = Path(data_dir)
     base = data_dir / "kmer_data"
+    fk = data_dir / "final.kmers"
+    table = None
     if WideKmerTable.exists(base):
         table = WideKmerTable.load(base)
     elif BucketKmerTable.exists(base):
@@ -163,11 +199,33 @@ def load_data_dir(data_dir, config: Config = Config(),
         lin = KmerTable.load(base)
         table = BucketKmerTable.build(*lin.occupied(), config.table)
     else:
-        # interop: accept a final.kmers text dump (partial values)
-        fk = data_dir / "final.kmers"
-        if fk.is_file():
-            import numpy as np
+        from ..table.cmph_table import CmphKmerTable
 
+        if CmphKmerTable.exists(base):
+            ctab = CmphKmerTable.load(base)
+            if fk.is_file() and not cmph_aliasing:
+                from ..interop import cmph as cmph_io
+
+                hi, lo, _avg, _fn = formats.read_final_kmers(fk)
+                keys = cmph_io.keys_from_packed(hi, lo)
+                idx = cmph_io.bdz_search(ctab.mph, keys)
+                v = ctab.values[np.minimum(idx, ctab.mph.m - 1)]
+                table = table_from_stats(
+                    hi, lo, v["avg_from_end"], v["function_index"],
+                    v["mean"], v["median"], v["var"], config.table)
+            else:
+                table = ctab
+        elif _is_nudb_dat(base):
+            from ..interop import cmph as cmph_io, nudb as nudb_io
+
+            keys, vals = nudb_io.read_nudb_dat(str(base) + ".dat")
+            rec = np.ascontiguousarray(vals).view(
+                cmph_io.STORED_KMER_DTYPE).reshape(-1)
+            hi, lo = cmph_io.packed_from_keys(keys)
+            table = table_from_stats(
+                hi, lo, rec["avg_from_end"], rec["function_index"],
+                rec["mean"], rec["median"], rec["var"], config.table)
+        elif fk.is_file():
             hi, lo, avg, fn = formats.read_final_kmers(fk)
             z = np.zeros(hi.shape[0], dtype=np.uint16)
             table = table_from_stats(hi, lo, avg, fn, z, z, z, config.table)
@@ -175,3 +233,11 @@ def load_data_dir(data_dir, config: Config = Config(),
             raise FileNotFoundError(f"No kmer table at {base}")
     function_index = formats.read_function_index(data_dir / "function.index")
     return table, function_index
+
+
+def _is_nudb_dat(base) -> bool:
+    p = Path(str(base) + ".dat")
+    if not p.is_file():
+        return False
+    with open(p, "rb") as f:
+        return f.read(8) == b"nudb.dat"

@@ -204,6 +204,10 @@ def table_probe(table, with_aux: bool):
     from ..table.wide_table import WideKmerTable
 
     arrays = table.device_arrays(with_aux=with_aux)
+    if hasattr(table, "probe"):
+        # protocol path: the table supplies its own probe fn
+        # (e.g. table/cmph_table.py's aliasing-emulation probe)
+        return table.probe(with_aux), arrays
     if isinstance(table, WideKmerTable):
         salt, ov_salt = table.salt, table.ov_salt
         bits, ov_bits = table.bits, table.ov_bits

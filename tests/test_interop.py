@@ -1,0 +1,310 @@
+"""Reference binary-store interop: CMPH BDZ .mph + value array and NuDB
+.dat/.key (ref: cmph_kmer.h, perfect_hash.h, nudb_kmer_db.h)."""
+
+import numpy as np
+import pytest
+
+from signature_kmers_tpu.interop import cmph as cmph_io
+from signature_kmers_tpu.interop import nudb as nudb_io
+from signature_kmers_tpu.interop.hashes import xxh64_bytes8
+
+LETTERS = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+
+
+def _rand_keys(rng, m):
+    keys = LETTERS[rng.integers(0, 20, (int(m * 1.6) + 8, 8))]
+    keys = np.unique(keys.view("S8"))[:m]
+    rng.shuffle(keys)
+    return keys.view(np.uint8).reshape(-1, 8)
+
+
+class TestHashes:
+    def test_xxh64_matches_real_xxhash(self):
+        xxhash = pytest.importorskip("xxhash")
+        rng = np.random.default_rng(9)
+        keys = rng.integers(0, 256, (1000, 8)).astype(np.uint8)
+        for seed in (0, 987654321, (1 << 63) + 5):
+            mine = xxh64_bytes8(keys, seed)
+            ref = np.asarray(
+                [xxhash.xxh64_intdigest(k.tobytes(), seed) for k in keys],
+                dtype=np.uint64)
+            np.testing.assert_array_equal(mine, ref)
+
+
+class TestBdz:
+    @pytest.mark.parametrize("m", [1, 2, 7, 1000, 60000])
+    def test_mph_is_minimal_perfect(self, m):
+        keys = _rand_keys(np.random.default_rng(m), m)
+        m = keys.shape[0]
+        mph = cmph_io.build_bdz(keys)
+        idx = cmph_io.bdz_search(mph, keys)
+        assert idx.min() >= 0 and idx.max() < m
+        assert np.unique(idx).shape[0] == m  # bijection onto [0, m)
+
+    def test_mph_file_roundtrip(self, tmp_path):
+        keys = _rand_keys(np.random.default_rng(5), 5000)
+        mph = cmph_io.build_bdz(keys)
+        p = tmp_path / "t.mph"
+        cmph_io.save_mph(p, mph)
+        m2 = cmph_io.load_mph(p)
+        assert (m2.seed, m2.n, m2.m, m2.r, m2.k, m2.b) == \
+            (mph.seed, mph.n, mph.m, mph.r, mph.k, mph.b)
+        np.testing.assert_array_equal(m2.g, mph.g)
+        np.testing.assert_array_equal(m2.ranktable, mph.ranktable)
+        np.testing.assert_array_equal(cmph_io.bdz_search(m2, keys),
+                                      cmph_io.bdz_search(mph, keys))
+
+    def test_rank_matches_ranktable(self):
+        """The stored rank table must agree with the exact rank array
+        (bdz.c rank() = ranktable[v>>b] + popcount walk)."""
+        keys = _rand_keys(np.random.default_rng(11), 20000)
+        mph = cmph_io.build_bdz(keys)
+        rank = mph.rank_array()
+        k = mph.k
+        for i in range(mph.ranktable.shape[0]):
+            assert mph.ranktable[i] == rank[i * k]
+
+
+class TestCmphStore:
+    def _store(self, tmp_path, m=4000, seed=2):
+        rng = np.random.default_rng(seed)
+        keys = _rand_keys(rng, m)
+        m = keys.shape[0]
+        hi, lo = cmph_io.packed_from_keys(keys)
+        stats = [rng.integers(0, 65536, m).astype(np.uint16)
+                 for _ in range(5)]
+        stats[1] = rng.integers(0, 300, m).astype(np.uint16)  # func idx
+        base = tmp_path / "kmer_data"
+        cmph_io.write_cmph_store(base, hi, lo, *stats)
+        return keys, hi, lo, stats, base
+
+    def test_store_roundtrip(self, tmp_path):
+        keys, hi, lo, stats, base = self._store(tmp_path)
+        mph = cmph_io.load_mph(str(base) + ".mph")
+        vals = cmph_io.read_cmph_values(str(base) + ".dat")
+        idx = cmph_io.bdz_search(mph, keys)
+        np.testing.assert_array_equal(vals["avg_from_end"][idx], stats[0])
+        np.testing.assert_array_equal(vals["function_index"][idx], stats[1])
+        np.testing.assert_array_equal(vals["median"][idx], stats[3])
+
+    def test_cmph_table_member_lookup(self, tmp_path):
+        from signature_kmers_tpu.table.cmph_table import CmphKmerTable
+
+        keys, hi, lo, stats, base = self._store(tmp_path)
+        t = CmphKmerTable.load(base)
+        found, r0, r1, r2 = t.lookup_np(hi, lo)
+        assert found.all()
+        np.testing.assert_array_equal(r0 & 0xFFFF, stats[0])
+        np.testing.assert_array_equal(r0 >> 16, stats[1])
+        np.testing.assert_array_equal(r1 & 0xFFFF, stats[2])
+        np.testing.assert_array_equal(r1 >> 16, stats[3])
+        np.testing.assert_array_equal(r2, stats[4])
+
+    def test_cmph_table_aliasing_semantics(self, tmp_path):
+        """Alien k-mers must alias onto REAL records with no membership
+        check — the reference's fetch behavior (cmph_kmer.h:138-147)."""
+        from signature_kmers_tpu.table.cmph_table import CmphKmerTable
+
+        keys, hi, lo, stats, base = self._store(tmp_path)
+        t = CmphKmerTable.load(base)
+        rng = np.random.default_rng(77)
+        alien = LETTERS[rng.integers(0, 20, (5000, 8))]
+        member = set(np.asarray(keys).view("S8").ravel().tolist())
+        alien = alien[~np.isin(alien.view("S8").ravel(),
+                               np.asarray(list(member)))]
+        ah, al = cmph_io.packed_from_keys(alien)
+        found, r0, _r1, _r2 = t.lookup_np(ah, al)
+        # almost every alien probe "hits" (rank == m corner is the only
+        # miss), and returned records equal the aliased slot's record
+        assert found.mean() > 0.9
+        idx = cmph_io.bdz_search(t.mph, alien)
+        inrange = idx < t.mph.m
+        np.testing.assert_array_equal(
+            r0[inrange] & 0xFFFF,
+            t.values["avg_from_end"][idx[inrange]])
+        assert (found == inrange).all()
+
+    def test_cmph_table_device_probe_matches_host(self, tmp_path):
+        from signature_kmers_tpu.ops import probe as probe_ops
+        from signature_kmers_tpu.table.cmph_table import CmphKmerTable
+
+        import jax
+
+        keys, hi, lo, stats, base = self._store(tmp_path, m=2000)
+        t = CmphKmerTable.load(base)
+        rng = np.random.default_rng(5)
+        alien = LETTERS[rng.integers(0, 20, (3000, 8))]
+        qh = np.concatenate([hi, cmph_io.packed_from_keys(alien)[0]])
+        ql = np.concatenate([lo, cmph_io.packed_from_keys(alien)[1]])
+        hfound, h0, h1, h2 = t.lookup_np(qh, ql)
+        for with_aux in (False, True):
+            fn, arrays = probe_ops.table_probe(t, with_aux=with_aux)
+            out = jax.jit(fn)(*arrays, qh, ql)
+            np.testing.assert_array_equal(np.asarray(out[0]), hfound)
+            fm = (h0 & 0xFFFF0000) | (h1 & 0xFFFF)
+            np.testing.assert_array_equal(np.asarray(out[1]), fm)
+            if with_aux:
+                np.testing.assert_array_equal(np.asarray(out[2]), h0)
+                np.testing.assert_array_equal(np.asarray(out[3]), h1)
+                np.testing.assert_array_equal(np.asarray(out[4]), h2)
+
+
+class TestNudb:
+    def test_roundtrip_and_bucket_fetch(self, tmp_path):
+        rng = np.random.default_rng(3)
+        keys = _rand_keys(rng, 20000)
+        n = keys.shape[0]
+        vals = rng.integers(0, 256, (n, 10)).astype(np.uint8)
+        base = tmp_path / "store"
+        nudb_io.write_nudb(base, keys, vals, salt=424242)
+        k2, v2 = nudb_io.read_nudb_dat(str(base) + ".dat")
+        np.testing.assert_array_equal(k2, keys)
+        np.testing.assert_array_equal(v2, vals)
+        hdr = nudb_io.read_nudb_header(str(base) + ".key")
+        assert hdr["key_size"] == 8 and hdr["appnum"] == 1
+        assert abs(hdr["load_factor"] - 0.5) < 1e-3
+        samp = rng.choice(n, 300, replace=False)
+        found, v = nudb_io.fetch_nudb(base, keys[samp])
+        assert found.all()
+        np.testing.assert_array_equal(v, vals[samp])
+        miss = np.frombuffer(b"x" * 8 * 5, np.uint8).reshape(5, 8).copy()
+        miss[:, 0] = np.arange(5) + ord("p")
+        fm, _ = nudb_io.fetch_nudb(base, miss)
+        assert not fm.any()
+
+    def test_spill_chains(self, tmp_path):
+        """Overflowing buckets spill to chained dat records, and both the
+        scan reader and the bucket-path fetch handle them."""
+        rng = np.random.default_rng(8)
+        keys = _rand_keys(rng, 2000)
+        n = keys.shape[0]
+        vals = rng.integers(0, 256, (n, 10)).astype(np.uint8)
+        base = tmp_path / "sp"
+        nudb_io.write_nudb(base, keys, vals, block_size=256,
+                           load_factor=4.0, salt=7)
+        k2, v2 = nudb_io.read_nudb_dat(str(base) + ".dat")
+        assert sorted(k2.view("S8").ravel().tolist()) == \
+            sorted(keys.view("S8").ravel().tolist())
+        found, v = nudb_io.fetch_nudb(base, keys)
+        assert found.all()
+        np.testing.assert_array_equal(v, vals)
+
+
+class TestDataDirIntegration:
+    @pytest.fixture(scope="class")
+    def built(self, tmp_path_factory, fixture_dir):
+        """CLI build that also writes the reference-format stores."""
+        from signature_kmers_tpu.cli.main import main as cli_main
+
+        out = tmp_path_factory.mktemp("kd_interop")
+        rc = cli_main([
+            "build-signatures",
+            "-D", str(fixture_dir / "Annotations"),
+            "-F", str(fixture_dir / "Seqs"),
+            "--kmer-data-dir", str(out),
+            "--final-kmers", "final.kmers",
+            "--nudb-file", "nudb_store",
+            "--perfect-hash", "kmers.mph",
+            "--perfect-hash-data", "kmers.mph.data",
+            "--no-recall",
+        ])
+        assert rc == 0
+        return out
+
+    def test_build_writes_reference_stores(self, built):
+        assert (built / "nudb_store.dat").is_file()
+        assert (built / "nudb_store.key").is_file()
+        assert (built / "kmers.mph").is_file()
+        assert (built / "kmers.mph.data").is_file()
+
+    def test_nudb_store_matches_table(self, built):
+        from signature_kmers_tpu.io import formats
+
+        keys, vals = nudb_io.read_nudb_dat(built / "nudb_store.dat")
+        rec = np.ascontiguousarray(vals).view(
+            cmph_io.STORED_KMER_DTYPE).reshape(-1)
+        hi, lo = cmph_io.packed_from_keys(keys)
+        fhi, flo, favg, ffn = formats.read_final_kmers(built / "final.kmers")
+        order = np.lexsort((lo, hi))
+        np.testing.assert_array_equal(hi[order], fhi)
+        np.testing.assert_array_equal(lo[order], flo)
+        np.testing.assert_array_equal(rec["avg_from_end"][order], favg)
+        np.testing.assert_array_equal(rec["function_index"][order], ffn)
+
+    def test_call_from_reference_format_dirs(self, built, fixture_dir,
+                                             tmp_path):
+        """Calling off a dir holding ONLY reference-format artifacts
+        (CMPH or NuDB + function.index) matches the native store."""
+        from signature_kmers_tpu.cli.main import main as cli_main
+
+        q = str(fixture_dir / "Queries" / "queries.fa")
+
+        def run(dd, *extra):
+            out = tmp_path / f"calls_{len(list(tmp_path.iterdir()))}.tsv"
+            rc = cli_main(["call-functions", "-d", str(dd), "-i", q,
+                           "-o", str(out), *extra])
+            assert rc == 0
+            return out.read_text()
+
+        native = run(built)
+
+        cm = tmp_path / "cmph_dir"
+        cm.mkdir()
+        (cm / "kmer_data.mph").write_bytes((built / "kmers.mph").read_bytes())
+        (cm / "kmer_data.dat").write_bytes(
+            (built / "kmers.mph.data").read_bytes())
+        (cm / "function.index").write_bytes(
+            (built / "function.index").read_bytes())
+        (cm / "final.kmers").write_bytes((built / "final.kmers").read_bytes())
+        assert run(cm) == native               # exact import path
+        # aliasing path: non-member probes may add stray hits (that IS the
+        # reference behavior, cmph_kmer.h:138-147), so scores can shift —
+        # but every query must still resolve to the same function
+        alias = run(cm, "--cmph-aliasing")
+        a_rows = [r.split("\t")[:2] for r in alias.splitlines()]
+        n_rows = [r.split("\t")[:2] for r in native.splitlines()]
+        assert a_rows == n_rows
+
+        nd = tmp_path / "nudb_dir"
+        nd.mkdir()
+        (nd / "kmer_data.dat").write_bytes(
+            (built / "nudb_store.dat").read_bytes())
+        (nd / "kmer_data.key").write_bytes(
+            (built / "nudb_store.key").read_bytes())
+        (nd / "function.index").write_bytes(
+            (built / "function.index").read_bytes())
+        assert run(nd) == native
+
+    def test_table_tool_import_export(self, built, tmp_path):
+        from signature_kmers_tpu.cli.main import main as cli_main
+
+        exp = tmp_path / "exported"
+        rc = cli_main(["table-tool", "export-cmph", str(built),
+                       str(exp / "kmer_data")])
+        assert rc == 0
+        rc = cli_main(["table-tool", "export-nudb", str(built),
+                       str(exp / "nudb")])
+        assert rc == 0
+        # import the exported cmph store (with keys from final.kmers)
+        src = tmp_path / "src_dir"
+        src.mkdir()
+        for name, dst in (("kmer_data.mph", "kmer_data.mph"),
+                          ("kmer_data.dat", "kmer_data.dat")):
+            (src / dst).write_bytes((exp / name).read_bytes())
+        (src / "final.kmers").write_bytes(
+            (built / "final.kmers").read_bytes())
+        (src / "function.index").write_bytes(
+            (built / "function.index").read_bytes())
+        dst = tmp_path / "imported"
+        rc = cli_main(["table-tool", "import", str(src), str(dst)])
+        assert rc == 0
+        from signature_kmers_tpu.table import open_table
+
+        t1 = open_table(built / "kmer_data")
+        t2 = open_table(dst / "kmer_data")
+        o1 = t1.occupied()
+        o2 = t2.occupied()
+        s1 = np.lexsort((o1[1], o1[0]))
+        s2 = np.lexsort((o2[1], o2[0]))
+        for a, b in zip(o1, o2):
+            np.testing.assert_array_equal(a[s1], b[s2])
