@@ -4,15 +4,19 @@ Pipeline (ref architecture: call_functions.tcc:259-338, redesigned TPU-first):
 
   FASTA -> padded (B, L) code batch            (host, native scanner)
         -> rolling k-mer pack + validity       (device, ops.kmer_pack)
-        -> bucketed-cuckoo probe, 2 gathers    (device, ops.probe.probe_bucket)
+        -> table probe (layout-agnostic)       (device, ops.probe.table_probe;
+                                                default: wide tagged-bucket,
+                                                ONE row gather per window)
         -> per-sequence hit automaton          (native C++ / Python spec)
         -> find_best_call scoring              (host exact)
 
 The reference spends its time doing one cmph_search + one random mmap read
-per residue position (cmph_kmer.h:139-147); here that is two 48-byte row
-gathers per window across the whole batch, and only a found-mask plus a
-packed (function, mean) word per position returns to the host — the full
-StoredKmerData is gathered only for debug/matrix paths.
+per residue position (cmph_kmer.h:139-147); here that is one (or, for the
+cuckoo layout, two) row gathers per window across the whole batch, and
+only a found-mask plus a packed (function, mean) word per position returns
+to the host — the full StoredKmerData is gathered only for debug/matrix
+paths.  Any table.KmerTableProtocol layout works (wide/cuckoo/linear, or
+the reference-format CMPH emulation table).
 """
 
 from __future__ import annotations
@@ -26,7 +30,7 @@ from ..golden.call import (BestCall, KmerCall, KmerHit, find_best_call,
                            process_hits)
 from ..io import fasta as fasta_io
 from ..ops import kmer_pack
-from ..table.bucket_table import BucketKmerTable
+from ..table import KmerTableProtocol
 
 
 def pad_bucketed(sub: fasta_io.SequenceBatch, rows: int):
@@ -71,9 +75,9 @@ class SequenceResult:
 
 
 class FunctionCaller:
-    """Batched caller against a BucketKmerTable."""
+    """Batched caller against any KmerTableProtocol layout."""
 
-    def __init__(self, table: BucketKmerTable, function_index: list[str],
+    def __init__(self, table: KmerTableProtocol, function_index: list[str],
                  config: CallConfig = CallConfig(),
                  device_config: DeviceConfig = DeviceConfig(),
                  use_device: bool = True):
@@ -374,7 +378,7 @@ class FunctionCaller:
         if not need_aux:
             return found, func, mean
         r0, r1, r2 = out[2], out[3], out[4]
-        avg, _f2, _mean2, median, var = BucketKmerTable_unpack(r0, r1, r2)
+        avg, _f2, _mean2, median, var = unpack_value_words(r0, r1, r2)
         return found, func, mean, avg, median, var
 
     def _gather_host(self, codes, lengths, need_aux):
@@ -516,7 +520,7 @@ class FunctionCaller:
         return self.call_batch(fasta_io.read_fasta_batch(path), keep_hits)
 
 
-def BucketKmerTable_unpack(r0, r1, r2):
+def unpack_value_words(r0, r1, r2):
     """-> (avg_from_end, function_index, mean, median, var)"""
     r0 = np.asarray(r0)
     r1 = np.asarray(r1)

@@ -18,6 +18,7 @@ from ..core.config import Config
 from ..io import formats
 from ..models.function_caller import FunctionCaller
 from ..models.signature_builder import KeptKmerArrays, SignatureBuilder
+from ..table import KmerTableProtocol
 from ..table.bucket_table import BucketKmerTable
 from ..table.kmer_table import KmerTable
 from ..utils import paths
@@ -27,7 +28,7 @@ from ..utils import paths
 class BuildResult:
     builder: SignatureBuilder
     kept: KeptKmerArrays
-    table: BucketKmerTable
+    table: "KmerTableProtocol"  # the configured layout (table/__init__.py)
     function_index: list[str]
     kmer_data_dir: Path | None
 
@@ -144,7 +145,7 @@ def run_build(
                        kmer_data_dir)
 
 
-def _run_recall(builder: SignatureBuilder, table: KmerTable,
+def _run_recall(builder: SignatureBuilder, table: KmerTableProtocol,
                 function_index: list[str], kmer_data_dir: Path,
                 config: Config) -> None:
     """Re-call every training protein against the fresh table; write

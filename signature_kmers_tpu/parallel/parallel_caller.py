@@ -62,33 +62,37 @@ class ShardedBucketTable:
                 table.packed[None],
                 np.asarray([table.salt], dtype=np.uint32), table.n_items)
         bits = n_shards.bit_length() - 1
+        from ..core.config import TableConfig
         from ..ops import hashing
 
         owner = hashing.hash_kmer(hi, lo) >> np.uint32(32 - bits)
-        from ..core.config import TableConfig
 
-        # common bucket count across shards (sized for the fullest shard)
-        counts = np.bincount(owner, minlength=n_shards)
-        from ..ops import hashing as hashing_mod
-
+        # two-pass sizing: build every shard once unconstrained, then
+        # rebuild ONLY the shards below the common (max) bucket count —
+        # at most 2 builds per shard, vs the old restart-all loop
+        # (worst case O(shards^2) rebuilds)
         SLOTS = TableConfig().slots
-        nb = max(TableConfig().min_size // SLOTS,
-                 hashing_mod.next_pow2(-(-int(counts.max()) // 3)))
-        while True:
-            parts = []
-            ok = True
-            for s in range(n_shards):
-                m = owner == s
-                cfg = TableConfig(min_size=nb * SLOTS)
-                t = BucketKmerTable.build(hi[m], lo[m], v0[m], v1[m],
-                                          v2[m], cfg)
-                if t.n_buckets != nb:
-                    nb = max(nb, t.n_buckets)
-                    ok = False
-                    break
-                parts.append(t)
-            if ok:
-                break
+        counts = np.bincount(owner, minlength=n_shards)
+        nb0 = max(TableConfig().min_size // SLOTS,
+                  hashing.next_pow2(-(-int(counts.max()) // 3)))
+        masks = [owner == s for s in range(n_shards)]
+
+        def build(s, nb):
+            m = masks[s]
+            cfg = TableConfig(min_size=nb * SLOTS)
+            return BucketKmerTable.build(hi[m], lo[m], v0[m], v1[m],
+                                         v2[m], cfg)
+
+        parts = [build(s, nb0) for s in range(n_shards)]
+        nb = max(t.n_buckets for t in parts)
+        parts = [t if t.n_buckets == nb else build(s, nb)
+                 for s, t in enumerate(parts)]
+        # a constrained rebuild can itself outgrow nb (cuckoo bad luck);
+        # repeat the equalization — each iteration strictly raises nb
+        while any(t.n_buckets != nb for t in parts):
+            nb = max(t.n_buckets for t in parts)
+            parts = [t if t.n_buckets == nb else build(s, nb)
+                     for s, t in enumerate(parts)]
         return ShardedBucketTable(
             np.stack([t.packed for t in parts]),
             np.asarray([t.salt for t in parts], dtype=np.uint32),

@@ -10,9 +10,43 @@ were likewise duck-type interchangeable on fetch().
 
 from __future__ import annotations
 
+from typing import Protocol, runtime_checkable
+
 from .bucket_table import BucketKmerTable
 from .kmer_table import KmerTable
 from .wide_table import WideKmerTable, WideTableConfig, compact_config
+
+
+@runtime_checkable
+class KmerTableProtocol(Protocol):
+    """The duck type every signature-table layout implements.
+
+    The reference's three storage backends are likewise interchangeable
+    on a duck-typed ``fetch`` (kept_kmer_db.h:20, nudb_kmer_db.h:113,
+    cmph_kmer.h:139); here the contract is batched:
+
+      n_items            stored key count
+      lookup_np(qhi, qlo, with_aux=True) -> (found, v0, v1, v2) host probe
+      device_arrays(with_aux) -> tuple of HBM arrays for the device probe
+      save(base) / load(base) / exists(base)   persistence
+
+    The device probe fn comes from ops.probe.table_probe: layouts either
+    expose their own ``probe(with_aux)`` method (table/cmph_table.py) or
+    are dispatched by type there.  Value words are KmerTable.pack_values
+    order: v0 = avg | func<<16, v1 = mean | median<<16, v2 = var.
+
+    ``occupied() -> (hi, lo, v0, v1, v2)`` is additionally implemented by
+    all exact-membership layouts (a CMPH store cannot enumerate keys).
+    """
+
+    @property
+    def n_items(self) -> int: ...
+
+    def lookup_np(self, qhi, qlo, with_aux: bool = True) -> tuple: ...
+
+    def device_arrays(self, with_aux: bool = False) -> tuple: ...
+
+    def save(self, base) -> None: ...
 
 
 def _wide_config(layout: str) -> WideTableConfig:

@@ -128,3 +128,49 @@ class TestParallelCallerCuckoo:
         assert len(got) == len(want)
         for g, w in zip(got, want):
             assert g.seq_id == w.seq_id and g.best == w.best
+
+
+class TestSharding16:
+    """tp=16 sharded builds (the pre-sizing two-pass builder must
+    converge without the old restart-all loop)."""
+
+    def test_bucket_tp16_covers_all_keys(self, built):
+        from signature_kmers_tpu.table.bucket_table import BucketKmerTable
+
+        _, table, _ = built
+        st = ShardedBucketTable.from_table(table, 16)
+        assert st.n_shards == 16
+        hi, lo, v0, v1, v2 = table.occupied()
+        hits = np.zeros(hi.shape[0], dtype=int)
+        for s in range(st.n_shards):
+            t = BucketKmerTable(st.packed[s], np.zeros_like(st.packed[s]),
+                                int(st.salts[s]), 0)
+            f, _, _, _ = t.lookup_np(hi, lo)
+            hits += f.astype(int)
+        np.testing.assert_array_equal(hits, np.ones_like(hits))
+
+    def test_wide_tp16_covers_all_keys(self, built):
+        import jax
+        import jax.numpy as jnp
+
+        from signature_kmers_tpu.parallel.parallel_caller import \
+            ShardedWideTable
+
+        _, table, _ = built
+        st = ShardedWideTable.from_table(table, 16)
+        hi, lo, v0, v1, v2 = table.occupied()
+        exp_fm = ((v0 >> 16) << 16) | (v1 & 0xFFFF)
+        hits = np.zeros(hi.shape[0], dtype=int)
+        fm_seen = np.zeros(hi.shape[0], dtype=np.uint32)
+        probe = jax.jit(lambda *a: st.probe(a[:4], a[4], a[5]))
+        for s in range(st.n_shards):
+            f, fm = probe(jnp.asarray(st.packed[s:s + 1]),
+                          jnp.asarray(st.ov_packed[s:s + 1]),
+                          jnp.asarray(st.salts[s:s + 1]),
+                          jnp.asarray(st.ov_salts[s:s + 1]),
+                          jnp.asarray(hi), jnp.asarray(lo))
+            f = np.asarray(f)
+            hits += f.astype(int)
+            fm_seen = np.where(f, np.asarray(fm), fm_seen)
+        np.testing.assert_array_equal(hits, np.ones_like(hits))
+        np.testing.assert_array_equal(fm_seen, exp_fm)

@@ -276,3 +276,22 @@ class TestNativeBuild:
         v = np.zeros(n, np.uint32)
         with pytest.raises(ValueError, match="duplicate"):
             WideKmerTable.build(hi, lo, v, v, v)
+
+
+def test_all_layouts_satisfy_table_protocol():
+    """Every layout (and the CMPH emulation table) implements the
+    KmerTableProtocol surface (table/__init__.py)."""
+    from signature_kmers_tpu.table import (BucketKmerTable, KmerTable,
+                                           KmerTableProtocol, WideKmerTable)
+    from signature_kmers_tpu.table.cmph_table import CmphKmerTable
+
+    for cls in (WideKmerTable, BucketKmerTable, KmerTable, CmphKmerTable):
+        for name in ("lookup_np", "device_arrays", "save", "load", "exists"):
+            assert hasattr(cls, name), (cls.__name__, name)
+    import numpy as np
+
+    hi = np.arange(64, dtype=np.uint32)
+    lo = np.arange(64, dtype=np.uint32)
+    v = np.arange(64, dtype=np.uint32)
+    t = WideKmerTable.build(hi, lo, v, v, v)
+    assert isinstance(t, KmerTableProtocol)
