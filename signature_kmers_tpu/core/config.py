@@ -49,6 +49,11 @@ class DistanceConfig:
     k: int = 8
     len_sigma_window: float = 2.0       # ref: matrix_distance.h:74-75
     zero_var_len_frac: float = 0.1      # ref: matrix_distance.h:68
+    # above this many sequences the pair-count matrix is computed in
+    # (tile_size x tile_size) output tiles streamed to host as sparse
+    # pairs, instead of one dense (S, S) device array (40 GB at S=100K)
+    dense_pair_limit: int = 16384
+    tile_size: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,12 +113,26 @@ class MatrixDistance:
         seqs = seqs[first]
         # dense k-mer ids
         _, kmer_id = np.unique(keys, return_inverse=True)
-        counts = self._pair_counts(kmer_id, seqs, len(ids), mesh=mesh)
+        pairs = self._pairs(kmer_id, seqs, len(ids), mesh=mesh)
+        return DistanceResult(ids=ids, prot_sizes=prot_sizes, pairs=pairs)
 
+    def _pairs(self, kmer_id, seqs, n_seqs, mesh=None):
+        """(i, j, count) triples with i < j, sorted.
+
+        Small batches use one dense (S, S) accumulator; past
+        config.dense_pair_limit the output is computed in
+        (tile_size x tile_size) blocks streamed to host as sparse pairs,
+        so device and host memory stay bounded by the tile, not by S^2
+        (the reference handles the same regime with nested sparse maps,
+        matrix_distance.h:128-148)."""
+        if (self.use_device and n_seqs >= 8
+                and n_seqs > self.config.dense_pair_limit):
+            return self._pairs_tiled(kmer_id, seqs, n_seqs, mesh=mesh)
+        counts = self._pair_counts(kmer_id, seqs, n_seqs, mesh=mesh)
         i1, i2 = np.nonzero(np.triu(counts, k=1))
         pairs = [(int(a), int(b), int(counts[a, b])) for a, b in zip(i1, i2)]
         pairs.sort()
-        return DistanceResult(ids=ids, prot_sizes=prot_sizes, pairs=pairs)
+        return pairs
 
     # -- internals ---------------------------------------------------------
 
@@ -210,9 +224,138 @@ class MatrixDistance:
         okl = (seqlen >= mean - stddev * w) & (seqlen <= mean + stddev * w)
         return found & okl
 
+    def _pack_seq_block(self, kk, sj, nkb: int, kblock: int, cap: int):
+        """Entries of one sequence block (kmer-sorted) -> (nkb, cap)
+        kmer-rel / seq-rel / valid arrays for the device scan."""
+        kr = np.zeros((nkb, cap), np.int32)
+        sr = np.zeros((nkb, cap), np.int32)
+        v = np.zeros((nkb, cap), bool)
+        if kk.size:
+            bi = (kk // kblock).astype(np.int64)
+            cell_start = np.searchsorted(kk, bi * kblock)
+            pos = np.arange(kk.size, dtype=np.int64) - cell_start
+            kr[bi, pos] = kk - bi * kblock
+            sr[bi, pos] = sj
+            v[bi, pos] = True
+        return kr, sr, v
+
+    def _tile_fn(self, kblock: int, sblk: int, mesh):
+        """Jitted (I, J) output-tile accumulator: scan over kmer blocks,
+        densify both blocks' incidence slices, C += A_I^T A_J on the MXU.
+
+        f32 accumulation is exact while every pair count stays below
+        2^24 — a pair's count is bounded by the number of shared k-mer
+        windows, i.e. by protein length (< 2^16), far inside the bound."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("tile", kblock, sblk, mesh is not None)
+        if not hasattr(self, "_tile_jit"):
+            self._tile_jit = {}
+        if key in self._tile_jit:
+            return self._tile_jit[key]
+
+        def scan_tiles(krI, srI, vI, krJ, srJ, vJ, axes=()):
+            def body(C, args):
+                kI, sI, mI, kJ, sJ, mJ = args
+                AI = jnp.zeros((kblock, sblk), jnp.float32).at[kI, sI].add(
+                    mI.astype(jnp.float32), mode="drop")
+                AJ = jnp.zeros((kblock, sblk), jnp.float32).at[kJ, sJ].add(
+                    mJ.astype(jnp.float32), mode="drop")
+                return C + jnp.dot(AI.T, AJ,
+                                   preferred_element_type=jnp.float32), None
+
+            init = jnp.zeros((sblk, sblk), dtype=jnp.float32)
+            if axes:
+                init = jax.lax.pvary(init, axes)
+            C, _ = jax.lax.scan(body, init, (krI, srI, vI, krJ, srJ, vJ))
+            return C
+
+        if mesh is None:
+            fn = jax.jit(scan_tiles)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            def local(*args):
+                part = scan_tiles(*args, axes=("dp", "tp"))
+                return jax.lax.psum(part, ("dp", "tp"))
+
+            spec = P(("dp", "tp"))
+            fn = jax.jit(shard_map(
+                local, mesh=mesh, in_specs=(spec,) * 6, out_specs=P()))
+        self._tile_jit[key] = fn
+        return fn
+
+    def _pairs_tiled(self, kmer_id: np.ndarray, seqs: np.ndarray,
+                     n_seqs: int, mesh=None):
+        """Tiled pair counting for large S: device and host memory are
+        bounded by one (tile_size x tile_size) block; only the nonzero
+        (i, j, count) triples of each upper-triangular tile reach the
+        host (ref regime: matrix_distance.h:128-148 nested maps)."""
+        import jax.numpy as jnp
+
+        sblk = self.config.tile_size
+        kblock = 4096
+        n_kmers = int(kmer_id.max()) + 1 if kmer_id.size else 0
+        if n_kmers == 0:
+            return []
+        nsb = -(-n_seqs // sblk)
+        nkb = -(-n_kmers // kblock)
+        ndev = int(mesh.devices.size) if mesh is not None else 1
+        nkb_pad = -(-nkb // ndev) * ndev
+
+        sb = (seqs // sblk).astype(np.int64)
+        order = np.lexsort((kmer_id, sb))
+        kk = kmer_id[order]
+        ss = seqs[order]
+        blk_start = np.searchsorted(sb[order], np.arange(nsb + 1))
+
+        # one global cap keeps a single compiled tile program
+        cap = 16
+        for j in range(nsb):
+            a, b = int(blk_start[j]), int(blk_start[j + 1])
+            if a == b:
+                continue
+            cnt = np.bincount(kk[a:b] // kblock, minlength=nkb)
+            cap = max(cap, int(cnt.max()))
+        cap = 1 << (cap - 1).bit_length()
+
+        packs = []
+        for j in range(nsb):
+            a, b = int(blk_start[j]), int(blk_start[j + 1])
+            kr, sr, v = self._pack_seq_block(
+                kk[a:b], ss[a:b] - j * sblk, nkb_pad, kblock, cap)
+            packs.append(tuple(jnp.asarray(x) for x in (kr, sr, v)))
+
+        fn = self._tile_fn(kblock, sblk, mesh)
+        pairs = []
+        for i in range(nsb):
+            for j in range(i, nsb):
+                C = np.asarray(fn(*packs[i], *packs[j]))
+                if i == j:
+                    a1, a2 = np.nonzero(np.triu(C, k=1))
+                else:
+                    a1, a2 = np.nonzero(C)
+                if a1.size:
+                    ci = C[a1, a2].astype(np.int64)
+                    gi = a1.astype(np.int64) + i * sblk
+                    gj = a2.astype(np.int64) + j * sblk
+                    pairs.extend(zip(gi.tolist(), gj.tolist(), ci.tolist()))
+        pairs.sort()
+        return pairs
+
     def _pair_counts(self, kmer_id: np.ndarray, seqs: np.ndarray,
                      n_seqs: int, mesh=None) -> np.ndarray:
-        """Blocked incidence matmul: C = sum_b A_b^T A_b."""
+        """Blocked incidence matmul: C = sum_b A_b^T A_b (dense (S, S)
+        output; _pairs switches to the tiled path past
+        config.dense_pair_limit).  f32 accumulation is exact while pair
+        counts stay below 2^24; counts are bounded by protein length
+        (< 2^16), far inside the bound."""
         n_kmers = int(kmer_id.max()) + 1 if kmer_id.size else 0
         if n_seqs == 0 or n_kmers == 0:
             return np.zeros((0, 0), dtype=np.int64)
