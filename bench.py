@@ -226,6 +226,10 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "e2e_over_link_seqs_per_s": round(e2e, 1),
         "e2e_over_link_vs_baseline": round(e2e_vs_baseline, 2),
+        # fraction of sequences re-called on the exact host path
+        # (REC_CAP overflow / packing guards, ops/automaton.py) — the
+        # device numbers above are honest only while this stays ~0
+        "host_fallback_frac": round(caller.host_fallback_frac, 6),
     }))
 
 

@@ -94,6 +94,18 @@ class FunctionCaller:
                 # the reference exits here (call_functions.tcc:269-274)
                 raise ValueError("Cannot find hypothetical protein index")
         self._gather_jit = {}
+        # device-automaton fallback accounting: rows processed vs rows
+        # re-called on the host (REC_CAP overflow / 16-bit packing guard,
+        # ops/automaton.py).  An adversarial corpus (many function
+        # switches per protein) could make the host path dominate
+        # silently; bench.py reports host_fallback_frac from these.
+        self.rows_processed = 0
+        self.rows_host_fallback = 0
+
+    @property
+    def host_fallback_frac(self) -> float:
+        return (self.rows_host_fallback / self.rows_processed
+                if self.rows_processed else 0.0)
 
     def function_at_index(self, idx: int) -> str:
         if idx == UNDEFINED_FUNCTION:
@@ -283,6 +295,7 @@ class FunctionCaller:
         n_distinct_l = n_distinct.tolist()
         ids = sub.ids
 
+        self.rows_processed += B
         results: list[SequenceResult] = [None] * B
         slow_rows = []
         for i in range(B):
@@ -311,6 +324,7 @@ class FunctionCaller:
                                       self.config)
             results[i] = SequenceResult(ids[i], true_lens_l[i], calls, best)
 
+        self.rows_host_fallback += len(slow_rows)
         for i in slow_rows:
             # exact host fallback for flush-heavy sequences (rare)
             codes = np.full((1, 1 + len(sub.codes)), alphabet.INVALID_CODE,
