@@ -12,10 +12,16 @@ value       = on-chip compute-path sequences/s per chip: the fused device
               HTTP tunnel at ~30 MB/s with serialized transfer phases;
               the end-to-end rate over that link is also reported, as
               e2e_over_link_seqs_per_s.)
-vs_baseline = value / (single-thread reference-style CPU caller measured
-              on this machine: one table probe per residue + the same
-              sequential automaton, in C++, best of 3 — the reference
-              publishes no numbers, see BASELINE.md).
+vs_baseline = value / (single-thread CPU caller with the reference's
+              AUTHENTIC production read path — CMPH BDZ search (jenkins
+              hash + 3 g-array reads + rank byte scan) + one unverified
+              10-byte record read per window (cmph_kmer.h:139-147,
+              libcmph bdz.c) + the same sequential automaton, in C++,
+              best of 3 — the reference publishes no numbers, see
+              BASELINE.md).  An OPTIMIZED CPU baseline (exact-membership
+              single-hash cuckoo probe, strictly faster than the
+              reference's read path) is also measured and reported as
+              cpu_opt_seqs_per_s / vs_cpu_opt.
 
 Workload is realistic production scale: a ~20M-entry signature table
 (~1 GB with aux values — far beyond CPU cache, as real PATRIC tables are),
@@ -99,10 +105,24 @@ def build_workload(seed=7, n_kmers=None, n_queries=None):
           f"{table.n_buckets:,} buckets + {table.ov_items:,} overflow "
           f"({table.packed.nbytes/2**20:.0f} MB)",
           file=sys.stderr)
-    # the C++ reference-style CPU baseline probes the cuckoo layout
+    # the optimized C++ CPU baseline probes the cuckoo layout
     cpu_table = BucketKmerTable.build(hi, lo, v0.astype(np.uint32),
                                       v1.astype(np.uint32),
                                       v2.astype(np.uint32))
+
+    # the authentic reference-read-path baseline probes a real CMPH BDZ
+    # mph + flat StoredKmerData array (what kmers-call-functions ships)
+    from signature_kmers_tpu.interop import cmph as cmph_io
+
+    t0 = time.perf_counter()
+    mph = cmph_io.build_bdz(cmph_io.keys_from_packed(hi, lo))
+    kidx = cmph_io.bdz_search(mph, cmph_io.keys_from_packed(hi, lo))
+    vals = np.zeros(mph.m, dtype=cmph_io.STORED_KMER_DTYPE)
+    vals["function_index"][kidx] = fn.astype(np.uint16)
+    vals["mean"][kidx] = np.uint16(SEQ_LEN)
+    vals["median"][kidx] = np.uint16(SEQ_LEN)
+    print(f"bdz mph build: {time.perf_counter()-t0:.1f}s for {n:,} keys",
+          file=sys.stderr)
 
     # queries: windows of the corpus with ~3% point mutations
     starts = rng.integers(0, n_kmers - SEQ_LEN, n_queries)
@@ -113,7 +133,7 @@ def build_workload(seed=7, n_kmers=None, n_queries=None):
         codes[q, pos] = aa[rng.integers(0, 20, nmut)]
     function_index = [f"fn{i}" for i in range(N_FUNCTIONS)] + [
         "hypothetical protein"]
-    return table, cpu_table, function_index, codes
+    return table, cpu_table, (mph, vals), function_index, codes
 
 
 def main():
@@ -141,10 +161,10 @@ def main():
 
     if dev.platform == "cpu":
         # fallback mode: scaled-down workload so the bench completes
-        table, cpu_table, function_index, codes = build_workload(
+        table, cpu_table, bdz, function_index, codes = build_workload(
             n_kmers=2_000_000, n_queries=2048)
     else:
-        table, cpu_table, function_index, codes = build_workload()
+        table, cpu_table, bdz, function_index, codes = build_workload()
     n_queries, seq_len = codes.shape
 
     cfg = Config()
@@ -199,31 +219,48 @@ def main():
     print(f"on-chip compute path: {dt_c * 1e3:.1f} ms/{chunk}-seq chunk "
           f"-> {value:,.0f} seqs/s/chip", file=sys.stderr)
 
-    # --- CPU reference-style baseline -----------------------------------
+    # --- CPU baselines ---------------------------------------------------
     vs_baseline = 0.0
     e2e_vs_baseline = 0.0
+    cpu_ref_rate = 0.0
+    cpu_opt_rate = 0.0
+    vs_cpu_opt = 0.0
     if host.available():
         sub = min(n_queries, 2048)
         so = (offsets[:sub + 1]).astype(np.int64)
-        best_dt = float("inf")
+        aargs = (cfg.call.min_hits, cfg.call.max_gap, cfg.call.k,
+                 cfg.call.mad_floor, cfg.call.len_mad_window)
+        mph, vals = bdz
+        best_ref = best_opt = float("inf")
         for _ in range(3):  # best-of-3: shared-host timing noise is large
             t0 = time.perf_counter()
-            host.cpu_baseline_call(flat[:so[-1]], so, cpu_table,
-                                   cfg.call.min_hits, cfg.call.max_gap,
-                                   cfg.call.k, cfg.call.mad_floor,
-                                   cfg.call.len_mad_window)
-            best_dt = min(best_dt, time.perf_counter() - t0)
-        cpu_rate = sub / best_dt
-        print(f"cpu baseline: {cpu_rate:,.0f} seqs/s (single thread, best of 3)",
+            host.cpu_baseline_call_bdz(flat[:so[-1]], so, mph, vals, *aargs)
+            best_ref = min(best_ref, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            host.cpu_baseline_call(flat[:so[-1]], so, cpu_table, *aargs)
+            best_opt = min(best_opt, time.perf_counter() - t0)
+        cpu_ref_rate = sub / best_ref
+        cpu_opt_rate = sub / best_opt
+        print(f"cpu baseline (authentic cmph-bdz read path): "
+              f"{cpu_ref_rate:,.0f} seqs/s (single thread, best of 3)",
               file=sys.stderr)
-        vs_baseline = value / cpu_rate
-        e2e_vs_baseline = e2e / cpu_rate
+        print(f"cpu baseline (optimized cuckoo probe):       "
+              f"{cpu_opt_rate:,.0f} seqs/s (single thread, best of 3)",
+              file=sys.stderr)
+        vs_baseline = value / cpu_ref_rate
+        e2e_vs_baseline = e2e / cpu_ref_rate
+        vs_cpu_opt = value / cpu_opt_rate
 
     print(json.dumps({
         "metric": "call_seqs_per_s_per_chip",
         "value": round(value, 1),
         "unit": "seqs/s",
+        # honest denominator: the reference's authentic cmph read path
         "vs_baseline": round(vs_baseline, 2),
+        "cpu_ref_seqs_per_s": round(cpu_ref_rate, 1),
+        # optimized CPU re-creation (faster than the real reference)
+        "cpu_opt_seqs_per_s": round(cpu_opt_rate, 1),
+        "vs_cpu_opt": round(vs_cpu_opt, 2),
         "e2e_over_link_seqs_per_s": round(e2e, 1),
         "e2e_over_link_vs_baseline": round(e2e_vs_baseline, 2),
         # fraction of sequences re-called on the exact host path

@@ -30,7 +30,7 @@ def jenkins_mix(a, b, c, xp=np):
     c = u(c - a - b) ^ (b >> _u32(xp, 13))
     a = u(a - b - c) ^ (c >> _u32(xp, 12))
     b = u(b - c - a) ^ (a << _u32(xp, 16))
-    c = u(c - a - b) ^ (b >> _u32(xp, 12))
+    c = u(c - a - b) ^ (b >> _u32(xp, 5))
     a = u(a - b - c) ^ (c >> _u32(xp, 3))
     b = u(b - c - a) ^ (a << _u32(xp, 10))
     c = u(c - a - b) ^ (b >> _u32(xp, 15))

@@ -502,6 +502,186 @@ long skt_cpu_baseline(const unsigned char *codes, const int64_t *seq_off,
 }
 
 // ---------------------------------------------------------------------------
+// Authentic reference-read-path CPU baseline (CMPH BDZ)
+// ---------------------------------------------------------------------------
+//
+// The production reference caller probes a CMPH BDZ minimal perfect hash
+// and an unverified flat mmap'd value array: per residue position it does
+// one Jenkins lookup2 hash (3 lanes), three mod-r reads of a packed 2-bit
+// g-array, a rank (ranktable entry + byte scan over the rank block), and
+// one 10-byte StoredKmerData read — with NO membership check, so alien
+// windows alias onto arbitrary slots (ref: cmph_kmer.h:139-147, libcmph
+// bdz.c bdz_search/rank, jenkins.c).  This function reproduces that exact
+// memory-access pattern + the same sequential automaton, single thread.
+// It is the honest vs_baseline denominator for bench.py; the faster
+// skt_cpu_baseline above (exact-membership cuckoo probe) is kept and
+// reported alongside.
+
+static inline void jenkins_mix(uint32_t &a, uint32_t &b, uint32_t &c) {
+    // canonical Bob Jenkins 1996 lookup2 mix (cmph jenkins.c)
+    a -= b; a -= c; a ^= (c >> 13);
+    b -= c; b -= a; b ^= (a << 8);
+    c -= a; c -= b; c ^= (b >> 13);
+    a -= b; a -= c; a ^= (c >> 12);
+    b -= c; b -= a; b ^= (a << 16);
+    c -= a; c -= b; c ^= (b >> 5);
+    a -= b; a -= c; a ^= (c >> 3);
+    b -= c; b -= a; b ^= (a << 10);
+    c -= a; c -= b; c ^= (b >> 15);
+}
+
+// codes/seq_off as in skt_cpu_baseline; code_to_byte: 64-entry 6-bit-code
+// -> raw residue character table (the reference hashes raw characters,
+// cmph_kmer.h:91); g: packed 2-bit BDZ values (ceil(3r/4) bytes);
+// ranktable as written by cmph_dump; values: m contiguous 10-byte
+// StoredKmerData records.  Returns total emitted calls.
+long skt_cpu_baseline_bdz(const unsigned char *codes, const int64_t *seq_off,
+                          long n_seqs, const unsigned char *code_to_byte,
+                          uint32_t seed, uint32_t r,
+                          const unsigned char *g, const uint32_t *ranktable,
+                          int rank_b, const unsigned char *values, long m,
+                          int min_hits, int max_gap, int kmer_size,
+                          double mad_floor, double len_window) {
+    if (kmer_size != 8) return -1;  // jenkins path specialized to K=8 keys
+    // per-byte count of assigned (!= 3) 2-bit fields, for rank byte scans
+    static uint8_t assigned_in_byte[256];
+    static bool tab_init = false;
+    if (!tab_init) {
+        for (int v = 0; v < 256; v++) {
+            int cnt = 0;
+            for (int f = 0; f < 4; f++)
+                if (((v >> (2 * f)) & 3) != 3) cnt++;
+            assigned_in_byte[v] = (uint8_t)cnt;
+        }
+        tab_init = true;
+    }
+    long total_calls = 0;
+    std::vector<Hit> hits;
+    std::vector<double> lengths, devs;
+
+    for (long s = 0; s < n_seqs; s++) {
+        int64_t b0 = seq_off[s], e0 = seq_off[s + 1];
+        long len = (long)(e0 - b0);
+        double seqlen = (double)len;
+        hits.clear();
+        int32_t current_fI = -1;
+        long n_calls_seq = 0;
+
+        auto process = [&]() {
+            // identical automaton flush to skt_cpu_baseline above
+            int fI_count = 0;
+            lengths.clear();
+            for (const Hit &h : hits) {
+                if (h.func == current_fI) {
+                    fI_count++;
+                    lengths.push_back((double)h.mean);
+                }
+            }
+            if (fI_count > 0) {
+                double mean_length = 0.0;
+                for (double x : lengths) mean_length += x;
+                mean_length /= (double)lengths.size();
+                devs = lengths;
+                double med = median_of(devs);
+                for (double &x : devs) x = std::fabs(x - med);
+                double mad = median_of(devs);
+                if (mad == 0.0) mad = mad_floor;
+                if (fI_count >= min_hits &&
+                    seqlen >= mean_length - len_window * mad &&
+                    seqlen <= mean_length + len_window * mad)
+                    n_calls_seq++;
+            }
+            size_t hm = hits.size();
+            if (hm >= 2 && hits[hm - 2].func != current_fI &&
+                hits[hm - 2].func == hits[hm - 1].func) {
+                current_fI = hits[hm - 2].func;
+                Hit a2 = hits[hm - 2], b2 = hits[hm - 1];
+                hits.clear();
+                hits.push_back(a2);
+                hits.push_back(b2);
+            } else {
+                hits.clear();
+            }
+        };
+
+        for (long p = 0; p + 8 <= len; p++) {
+            bool ok = true;
+            unsigned char kb[8];
+            for (int j = 0; j < 8; j++) {
+                unsigned char c = codes[b0 + p + j];
+                if (c == 52 || c == 23) { ok = false; break; }  // '*' / 'X'
+                kb[j] = code_to_byte[c & 63];
+            }
+            if (!ok) continue;
+            // __jenkins_hash_vector, keylen == 8
+            uint32_t w0 = (uint32_t)kb[0] | ((uint32_t)kb[1] << 8)
+                        | ((uint32_t)kb[2] << 16) | ((uint32_t)kb[3] << 24);
+            uint32_t w1 = (uint32_t)kb[4] | ((uint32_t)kb[5] << 8)
+                        | ((uint32_t)kb[6] << 16) | ((uint32_t)kb[7] << 24);
+            uint32_t a = w0 + 0x9E3779B9u;
+            uint32_t bb = w1 + 0x9E3779B9u;
+            uint32_t c = seed + 8u;
+            jenkins_mix(a, bb, c);
+            // bdz_search: 3 vertices, 3 g reads, select, rank
+            uint64_t hl[3] = {(uint64_t)(a % r),
+                              (uint64_t)(bb % r) + r,
+                              (uint64_t)(c % r) + 2ull * r};
+            unsigned gv0 = (g[hl[0] >> 2] >> (((unsigned)hl[0] & 3) << 1)) & 3;
+            unsigned gv1 = (g[hl[1] >> 2] >> (((unsigned)hl[1] & 3) << 1)) & 3;
+            unsigned gv2 = (g[hl[2] >> 2] >> (((unsigned)hl[2] & 3) << 1)) & 3;
+            uint64_t vertex = hl[(gv0 + gv1 + gv2) % 3];
+            // bdz.c rank(): block entry + byte scan within the block
+            uint64_t bidx = vertex >> rank_b;
+            uint32_t rank = ranktable[bidx];
+            uint64_t beg_v = bidx << rank_b;
+            uint64_t beg_b = beg_v >> 2, end_b = vertex >> 2;
+            while (beg_b < end_b) rank += assigned_in_byte[g[beg_b++]];
+            beg_v = beg_b << 2;
+            while (beg_v < vertex) {
+                if (((g[beg_v >> 2] >> (((unsigned)beg_v & 3) << 1)) & 3) != 3)
+                    rank++;
+                beg_v++;
+            }
+            if (rank >= (uint32_t)m) continue;  // ref: kidx >= hash_size_
+            // unverified flat record read — every valid window is a "hit"
+            const unsigned char *rec = values + (size_t)rank * 10;
+            Hit cur{(int32_t)p,
+                    (int32_t)(rec[2] | ((uint32_t)rec[3] << 8)),
+                    (int32_t)(rec[4] | ((uint32_t)rec[5] << 8))};
+            if (!hits.empty() && hits.back().pos + max_gap < cur.pos) {
+                if ((int)hits.size() >= min_hits) process();
+                else hits.clear();
+            }
+            if (hits.empty()) current_fI = cur.func;
+            hits.push_back(cur);
+            if (hits.size() > 1 && current_fI != cur.func) {
+                size_t hm = hits.size();
+                if (hits[hm - 2].func == hits[hm - 1].func) process();
+            }
+        }
+        if ((int)hits.size() >= min_hits) process();
+        total_calls += n_calls_seq;
+    }
+    return total_calls;
+}
+
+// For cross-checking the Python jenkins implementation (interop/hashes.py)
+// against this independently written one: hashes 8-byte keys, writes a/b/c.
+void skt_jenkins3_k8(const unsigned char *keys, long n, uint32_t seed,
+                     uint32_t *out_a, uint32_t *out_b, uint32_t *out_c) {
+    for (long i = 0; i < n; i++) {
+        const unsigned char *kb = keys + i * 8;
+        uint32_t w0 = (uint32_t)kb[0] | ((uint32_t)kb[1] << 8)
+                    | ((uint32_t)kb[2] << 16) | ((uint32_t)kb[3] << 24);
+        uint32_t w1 = (uint32_t)kb[4] | ((uint32_t)kb[5] << 8)
+                    | ((uint32_t)kb[6] << 16) | ((uint32_t)kb[7] << 24);
+        uint32_t a = w0 + 0x9E3779B9u, b = w1 + 0x9E3779B9u, c = seed + 8u;
+        jenkins_mix(a, b, c);
+        out_a[i] = a; out_b[i] = b; out_c[i] = c;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Native bucketed-cuckoo table build
 //
 // The reference builds its lookup structure natively too (CMPH BDZ,

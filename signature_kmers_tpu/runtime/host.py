@@ -96,6 +96,21 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double,
         ]
+        lib.skt_cpu_baseline_bdz.restype = ctypes.c_long
+        lib.skt_cpu_baseline_bdz.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p,
+            ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double,
+        ]
+        lib.skt_jenkins3_k8.restype = None
+        lib.skt_jenkins3_k8.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.skt_pack_u6_rows.restype = None
         lib.skt_pack_u6_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -175,6 +190,47 @@ def cpu_baseline_call(codes, seq_off, table, min_hits: int, max_gap: int,
         _ptr(codes), _ptr(seq_off), seq_off.shape[0] - 1,
         _ptr(packed), table.n_buckets, np.uint32(table.salt), table.slots,
         min_hits, max_gap, k, mad_floor, len_window)
+
+
+def cpu_baseline_call_bdz(codes, seq_off, mph, values, min_hits: int,
+                          max_gap: int, k: int, mad_floor: float,
+                          len_window: float) -> int:
+    """Single-thread CPU pass with the reference's AUTHENTIC read path:
+    CMPH BDZ search (jenkins + 3 g-array reads + rank byte scan) + one
+    unverified 10-byte record read per window (cmph_kmer.h:139-147),
+    feeding the same sequential automaton.  `mph` is an interop BdzMph;
+    `values` the (m,) STORED_KMER_DTYPE record array.  Returns calls."""
+    from ..core import alphabet
+
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    c2b = np.ascontiguousarray(alphabet.CODE_TO_BYTE, dtype=np.uint8)
+    g = np.ascontiguousarray(mph.g, dtype=np.uint8)
+    rt = np.ascontiguousarray(mph.ranktable, dtype=np.uint32)
+    vals = np.ascontiguousarray(values)
+    if vals.dtype.itemsize != 10:
+        raise ValueError("values must be 10-byte StoredKmerData records")
+    return lib.skt_cpu_baseline_bdz(
+        _ptr(codes), _ptr(seq_off), seq_off.shape[0] - 1, _ptr(c2b),
+        np.uint32(mph.seed), np.uint32(mph.r), _ptr(g), _ptr(rt),
+        int(mph.b), _ptr(vals), int(mph.m),
+        min_hits, max_gap, k, mad_floor, len_window)
+
+
+def jenkins3_k8(keys, seed: int):
+    """Native jenkins lookup2 over (N, 8) byte keys -> (a, b, c) uint32.
+
+    Independent C++ transcription used to cross-check interop/hashes.py."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint8)
+    n = keys.shape[0]
+    a = np.empty(n, np.uint32)
+    b = np.empty(n, np.uint32)
+    c = np.empty(n, np.uint32)
+    lib.skt_jenkins3_k8(_ptr(keys), n, np.uint32(seed),
+                        _ptr(a), _ptr(b), _ptr(c))
+    return a, b, c
 
 
 def build_cuckoo(hi, lo, v0, v1, v2, n_buckets: int, salt: int,

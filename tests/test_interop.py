@@ -31,6 +31,79 @@ class TestHashes:
             np.testing.assert_array_equal(mine, ref)
 
 
+class TestJenkins:
+    def test_python_matches_independent_cpp(self):
+        """interop/hashes.py jenkins vs the independently transcribed C++
+        lookup2 in skt_runtime.cpp (guards the mix shift constants — a
+        wrong constant silently breaks real-libcmph interop while all
+        self-round-trip tests keep passing)."""
+        from signature_kmers_tpu.interop.hashes import jenkins_hash3_bytes
+        from signature_kmers_tpu.runtime import host
+
+        if not host.available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, 256, (4096, 8)).astype(np.uint8)
+        for seed in (0, 1, 0xDEADBEEF, (1 << 32) - 1):
+            pa, pb, pc = jenkins_hash3_bytes(seed, keys)
+            ca, cb, cc = host.jenkins3_k8(keys, seed)
+            np.testing.assert_array_equal(pa, ca)
+            np.testing.assert_array_equal(pb, cb)
+            np.testing.assert_array_equal(pc, cc)
+
+
+class TestBdzBaseline:
+    def test_bdz_baseline_matches_cuckoo_on_member_queries(self):
+        """The authentic-BDZ-read-path CPU baseline and the exact-membership
+        cuckoo baseline agree on total calls when every query window is a
+        table member (aliasing can then never fire)."""
+        from signature_kmers_tpu.core import alphabet
+        from signature_kmers_tpu.core.config import Config
+        from signature_kmers_tpu.runtime import host
+        from signature_kmers_tpu.table.bucket_table import BucketKmerTable
+        from signature_kmers_tpu.table.kmer_table import KmerTable
+
+        if not host.available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(5)
+        aa = alphabet.encode_seq(alphabet.AA20)
+        n_seqs, L = 64, 120
+        codes = aa[rng.integers(0, 20, n_seqs * L)].astype(np.uint8)
+        offsets = (np.arange(n_seqs + 1) * L).astype(np.int64)
+
+        hi, lo = alphabet.pack_codes_np(codes)
+        # windows crossing sequence boundaries are junk keys; harmless —
+        # including them only grows the member set
+        # function = source sequence's id, so every sequence yields a long
+        # same-function hit run and real calls come out of both baselines
+        fn_of_window = ((np.arange(hi.shape[0]) // L) % 37).astype(np.uint32)
+        packed = (hi.astype(np.uint64) << 24) | lo
+        _, idx = np.unique(packed, return_index=True)
+        idx.sort()
+        hi, lo = hi[idx], lo[idx]
+        n = hi.shape[0]
+        fn = fn_of_window[idx]
+        mean = np.full(n, L, dtype=np.uint32)
+        v0, v1, v2 = KmerTable.pack_values(
+            np.zeros(n, np.uint32), fn, mean, mean, np.zeros(n, np.uint32))
+        ctable = BucketKmerTable.build(hi, lo, v0.astype(np.uint32),
+                                       v1.astype(np.uint32),
+                                       v2.astype(np.uint32))
+        mph = cmph_io.build_bdz(cmph_io.keys_from_packed(hi, lo))
+        kidx = cmph_io.bdz_search(mph, cmph_io.keys_from_packed(hi, lo))
+        vals = np.zeros(mph.m, dtype=cmph_io.STORED_KMER_DTYPE)
+        vals["function_index"][kidx] = fn
+        vals["mean"][kidx] = mean
+
+        cfg = Config().call
+        args = (cfg.min_hits, cfg.max_gap, cfg.k, cfg.mad_floor,
+                cfg.len_mad_window)
+        a = host.cpu_baseline_call(codes, offsets, ctable, *args)
+        b = host.cpu_baseline_call_bdz(codes, offsets, mph, vals, *args)
+        assert a == b
+        assert a > 0
+
+
 class TestBdz:
     @pytest.mark.parametrize("m", [1, 2, 7, 1000, 60000])
     def test_mph_is_minimal_perfect(self, m):
