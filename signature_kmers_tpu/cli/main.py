@@ -46,6 +46,11 @@ def _add_build(sub):
     p.add_argument("--perfect-hash-data",
                    help="flat StoredKmerData array for --perfect-hash "
                         "(default: <perfect-hash>.data)")
+    p.add_argument("--otu-file",
+                   help="OTU membership file (otu-id\\tgenome lines, e.g. "
+                        "the `otus` artifact of setup-build --otu-reps); "
+                        "populates otu.index instead of the reference's "
+                        "empty stub (kmers-build-signatures.cc:186-188)")
     p.add_argument("--kept-log")
     p.add_argument("--no-recall", action="store_true")
     p.add_argument("--checkpoint", action="store_true",
@@ -84,6 +89,7 @@ def cmd_build(args):
         nudb_file=args.nudb_file,
         perfect_hash=args.perfect_hash,
         perfect_hash_data=args.perfect_hash_data,
+        otu_file=args.otu_file,
         recall=not args.no_recall,
         kept_log=args.kept_log,
         checkpoint=args.checkpoint,

@@ -179,11 +179,19 @@ def main(argv=None):
     genomes: list[str] = []
     if args.otu_reps:
         seen = set()
+        otu_lines = []
         for line in Path(args.otu_reps).read_text().splitlines():
             parts = line.split("\t")
-            if len(parts) >= 2 and parts[0] not in seen:
-                genomes.append(parts[1])
-                seen.add(parts[0])
+            if len(parts) >= 2:
+                otu_lines.append(f"{parts[0]}\t{parts[1]}")
+                if parts[0] not in seen:
+                    genomes.append(parts[1])
+                    seen.add(parts[0])
+        # the `otus` artifact: full OTU membership for downstream
+        # build-signatures --otu-file (populates otu.index, which the
+        # reference leaves an empty stub — kmers-build-signatures.cc:186)
+        (root / "otus").write_text(
+            "".join(l + "\n" for l in otu_lines))
     genomes.extend(args.genome)
 
     src_seqs = Path(args.source_seqs) if args.source_seqs else None

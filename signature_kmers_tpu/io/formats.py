@@ -128,6 +128,43 @@ def read_final_kmers(path):
 # ---------------------------------------------------------------------------
 
 
+def write_otu_index(path, otus: Iterable[tuple[str, list[str]]]):
+    """otu.index: ``idx \\t otu-id \\t representative-genome``.
+
+    The reference always writes this file EMPTY (its KmerOtuStats
+    consumer is declared but compiled out — ref:
+    kmers-build-signatures.cc:186-188, call_functions.h:95-120 under
+    ``#if 0``), so no reference format exists; this catalog form mirrors
+    function.index (dense index + names).  `otus` is an ordered
+    (otu_id, [member genomes...]) sequence; the first member is the
+    representative.  The empty stub remains the default for parity —
+    this is written only when OTU metadata is supplied (--otu-file).
+    """
+    with open(path, "w", encoding="latin-1") as fh:
+        for idx, (otu_id, genomes) in enumerate(otus):
+            rep = genomes[0] if genomes else ""
+            fh.write(f"{idx}\t{otu_id}\t{rep}\n")
+
+
+def read_otu_sets(path) -> list[tuple[str, list[str]]]:
+    """Parse an OTU membership file of ``otu-id \\t genome`` lines (the
+    --otu-reps input format of setup-build, ref: kmers-setup-build.pl:
+    35-51, and the ``otus`` artifact it writes) into ordered
+    (otu_id, [genomes...]) groups, first appearance first."""
+    groups: dict[str, list[str]] = {}
+    order: list[str] = []
+    if path and os.path.isfile(path):
+        with open(path, encoding="latin-1") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2 and parts[0]:
+                    if parts[0] not in groups:
+                        groups[parts[0]] = []
+                        order.append(parts[0])
+                    groups[parts[0]].append(parts[1])
+    return [(o, groups[o]) for o in order]
+
+
 def format_call_row(seq_id: str, function: str, function_index: int, score: float) -> str:
     return f"{seq_id}\t{function}\t{function_index}\t{cxx_num(score)}\n"
 

@@ -53,6 +53,7 @@ def run_build(
     nudb_file=None,
     perfect_hash=None,
     perfect_hash_data=None,
+    otu_file=None,
 ) -> BuildResult:
     builder = SignatureBuilder(config.build, kept_log, use_device=use_device)
 
@@ -80,8 +81,14 @@ def run_build(
         formats.write_function_index(kmer_data_dir / "function.index",
                                      builder.fm.function_index_rows())
         # stub artifacts for pipeline compatibility
-        # (ref: kmers-build-signatures.cc:184-191)
-        (kmer_data_dir / "otu.index").write_text("")
+        # (ref: kmers-build-signatures.cc:184-191).  otu.index becomes a
+        # real catalog when OTU metadata is supplied (setup-build
+        # --otu-reps writes the `otus` artifact; --otu-file feeds it in).
+        otus = formats.read_otu_sets(otu_file) if otu_file else []
+        if otus:
+            formats.write_otu_index(kmer_data_dir / "otu.index", otus)
+        else:
+            (kmer_data_dir / "otu.index").write_text("")
         (kmer_data_dir / "genomes").write_text("empty genomes\n")
 
     ckpt_dir = (kmer_data_dir / "build.ckpt.d"

@@ -48,6 +48,36 @@ class TestSetupBuild:
         assert "ext1\tfig|7777777.1.peg.1" in idmap
         assert (out / "gnames" / "7777777.1").read_text().startswith("Extra")
 
+    def test_otu_reps_writes_otus_artifact(self, tmp_path):
+        src_seqs = tmp_path / "s"
+        src_seqs.mkdir()
+        for g in ("1.1", "2.2", "3.3"):
+            (src_seqs / g).write_text(f">fig|{g}.peg.1 Some func\nMKLV\n")
+        reps = tmp_path / "reps"
+        # otu 7 has two members: 1.1 is the representative
+        reps.write_text("7\t1.1\n7\t2.2\n9\t3.3\n")
+        out = tmp_path / "b"
+        out.mkdir()
+        rc = setup_main([str(out), "--source-seqs", str(src_seqs),
+                         "--otu-reps", str(reps)])
+        assert rc == 0
+        assert (out / "otus").read_text() == "7\t1.1\n7\t2.2\n9\t3.3\n"
+        # only representatives were imported
+        assert (out / "Seqs" / "1.1").is_file()
+        assert not (out / "Seqs" / "2.2").exists()
+        assert (out / "Seqs" / "3.3").is_file()
+
+    def test_otu_index_populated_from_otu_file(self, tmp_path):
+        from signature_kmers_tpu.io import formats
+
+        otus = tmp_path / "otus"
+        otus.write_text("7\t1.1\n7\t2.2\n9\t3.3\n")
+        sets = formats.read_otu_sets(otus)
+        assert sets == [("7", ["1.1", "2.2"]), ("9", ["3.3"])]
+        formats.write_otu_index(tmp_path / "otu.index", sets)
+        assert (tmp_path / "otu.index").read_text() == \
+            "0\t7\t1.1\n1\t9\t3.3\n"
+
     def test_fragment_renumbering(self):
         items = [
             ("a", "Big protein # fragment"),
@@ -86,18 +116,25 @@ def data_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("corpus_tools")
     generate_corpus(root)
     out = tmp_path_factory.mktemp("kd_tools")
+    otus = root / "otus"
+    otus.write_text("12\tg1\n12\tg2\n34\tg3\n")
     rc = cli_main([
         "build-signatures",
         "-D", str(root / "Annotations"),
         "-F", str(root / "Seqs"),
         "--kmer-data-dir", str(out),
         "--final-kmers", "final.kmers",
+        "--otu-file", str(otus),
         "--no-recall"])
     assert rc == 0
     return out
 
 
 class TestTableTool:
+    def test_otu_index_written(self, data_dir):
+        assert (data_dir / "otu.index").read_text() == \
+            "0\t12\tg1\n1\t34\tg3\n"
+
     def test_info_and_verify(self, data_dir, capsys):
         assert cli_main(["table-tool", "info", str(data_dir)]) == 0
         out = capsys.readouterr().out
