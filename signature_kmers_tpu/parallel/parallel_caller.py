@@ -171,9 +171,12 @@ class ShardedWideTable:
         if not ov_any:
             ovs = [np.full((1, 2), wt.EMPTY, np.uint32)] * n_shards
             ov_salts = np.full(n_shards, wt._SALT_BASE, dtype=np.uint32)
-            ov_bits = 16
+            ov_bits = 17
         else:
-            ov_bits = max(16, int(np.ceil(np.log2(
+            # >= 17: wide_bucket_tag's tag/sentinel exactness bound
+            # (ops/hashing.py) — 16 raised ValueError whenever a sharded
+            # build had a small overflow set
+            ov_bits = max(17, int(np.ceil(np.log2(
                 max(nmax / wt._OV_LAMBDA, 1)))))
             chosen = []
             for l in leftovers:

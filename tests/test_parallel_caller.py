@@ -111,6 +111,52 @@ class TestShardedWideTable:
         np.testing.assert_array_equal(fm_seen, exp_fm)
 
 
+class TestShardedWideSmallOverflow:
+    def test_small_overflow_set(self):
+        """Regression: a sharded build whose per-shard overflow set is
+        SMALL used to compute ov_bits = max(16, ...) — below the >=17
+        tag/sentinel exactness floor — and raise ValueError (found by
+        benchmarks/scaling_bench.py at 100K-500K keys)."""
+        from signature_kmers_tpu.parallel.parallel_caller import \
+            ShardedWideTable
+        from signature_kmers_tpu.table.kmer_table import KmerTable
+        from signature_kmers_tpu.table.wide_table import WideKmerTable
+
+        rng = np.random.default_rng(4)
+        n = 120_000
+        hi = rng.integers(0, 1 << 24, n, dtype=np.uint32)
+        lo = rng.integers(0, 1 << 24, n, dtype=np.uint32)
+        pk = (hi.astype(np.uint64) << 24) | lo
+        _, idx = np.unique(pk, return_index=True)
+        hi, lo = hi[idx], lo[idx]
+        n = hi.shape[0]
+        v0, v1, v2 = KmerTable.pack_values(
+            rng.integers(0, 300, n), rng.integers(0, 50, n),
+            np.full(n, 300, np.uint32), np.full(n, 300, np.uint32),
+            np.full(n, 900, np.uint32))
+        table = WideKmerTable.build(hi, lo, v0.astype(np.uint32),
+                                    v1.astype(np.uint32),
+                                    v2.astype(np.uint32))
+        st = ShardedWideTable.from_table(table, 2)
+        assert st.ov_bits >= 17
+        if st.ov_any:
+            # every key still found in exactly one shard
+            found = np.zeros(n, dtype=int)
+            for s in range(st.n_shards):
+                s_main = st.packed.shape[2] // 2
+                s_ov = st.ov_packed.shape[2] // 2
+                sub = WideKmerTable(
+                    st.packed[s],
+                    np.zeros((st.packed[s].shape[0], 3 * s_main), np.uint32),
+                    st.ov_packed[s],
+                    np.zeros((st.ov_packed[s].shape[0], 3 * s_ov), np.uint32),
+                    int(st.salts[s]), st.bits, int(st.ov_salts[s]),
+                    st.ov_bits, 0, 1)
+                f, _, _, _ = sub.lookup_np(hi, lo)
+                found += f.astype(int)
+            np.testing.assert_array_equal(found, np.ones_like(found))
+
+
 class TestParallelCallerCuckoo:
     def test_matches_single_device_cuckoo_layout(self, built):
         from signature_kmers_tpu.table.bucket_table import BucketKmerTable
