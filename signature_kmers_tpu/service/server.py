@@ -26,6 +26,7 @@ Endpoints (surface modeled on kser_request.cc:273-489):
 from __future__ import annotations
 
 import asyncio
+import dataclasses
 import io
 
 from .. import __version__
@@ -34,6 +35,21 @@ from ..io import fasta as fasta_io, formats
 from ..models import pipeline
 from ..models.function_caller import FunctionCaller
 from ..models.matrix_distance import MatrixDistance
+
+
+@dataclasses.dataclass(frozen=True)
+class _Engines:
+    """Immutable table + engine snapshot.
+
+    Read handlers grab ONE reference and use it for the whole request;
+    /add builds a NEW snapshot and swaps the attribute (atomic under the
+    GIL), so reads never block behind a rebuild and in-flight requests
+    finish on the table they started with (copy-on-write — the service
+    lock now covers only writers)."""
+
+    table: object
+    caller: FunctionCaller
+    distance: MatrixDistance
 
 
 class _QueryBatcher:
@@ -83,9 +99,12 @@ class _QueryBatcher:
                     deflines=[d for b in batches for d in b.deflines],
                 )
                 try:
-                    async with self.service._lock:  # excludes /add rebuilds
-                        results = await loop.run_in_executor(
-                            None, self.service.caller.call_batch, merged)
+                    # lock-free: one engines-snapshot read; an /add that
+                    # lands mid-batch swaps the attribute for the NEXT
+                    # batch while this one finishes on its old table
+                    caller = self.service.engines.caller
+                    results = await loop.run_in_executor(
+                        None, caller.call_batch, merged)
                     self.batches_run += 1
                 except Exception as exc:  # noqa: BLE001 — fail all waiters
                     for _b, fut in work:
@@ -110,9 +129,11 @@ class AnnotationService:
     def __init__(self, data_dir, config: Config = Config()):
         self.config = config
         self.data_dir = data_dir
-        self.table, self.function_index = pipeline.load_data_dir(
+        table, self.function_index = pipeline.load_data_dir(
             data_dir, config)
-        self._build_engines()
+        self.engines = self._make_engines(table)
+        # writer lock: serializes /add, /mapping/<k>/add, /checkpoint.
+        # Readers snapshot self.engines and run lock-free (see _Engines).
         self._lock = asyncio.Lock()
         self.batcher = _QueryBatcher(self)
         # keyed auxiliary mappings (ref: /mapping/<key>/* endpoints,
@@ -120,12 +141,28 @@ class AnnotationService:
         # /mapping/<key>/add and probed via /mapping/<key>/lookup
         self.mappings: dict[str, object] = {}
 
-    def _build_engines(self):
-        self.caller = FunctionCaller(self.table, self.function_index,
-                                     self.config.call, self.config.device)
-        self.distance = MatrixDistance(self.table, self.function_index,
-                                       self.config.distance,
-                                       self.config.device)
+    def _make_engines(self, table) -> _Engines:
+        return _Engines(
+            table,
+            FunctionCaller(table, self.function_index,
+                           self.config.call, self.config.device),
+            MatrixDistance(table, self.function_index,
+                           self.config.distance, self.config.device))
+
+    # single-snapshot convenience views (one attribute read each — fine
+    # for handlers that touch the engine once; multi-step handlers should
+    # bind `eng = self.engines` explicitly)
+    @property
+    def table(self):
+        return self.engines.table
+
+    @property
+    def caller(self) -> FunctionCaller:
+        return self.engines.caller
+
+    @property
+    def distance(self) -> MatrixDistance:
+        return self.engines.distance
 
     # -- request handlers --------------------------------------------------
 
@@ -194,14 +231,15 @@ class AnnotationService:
         old_keys = (hi.astype(np.uint64) << 24) | lo
         new_keys = (nh.astype(np.uint64) << 24) | nl
         keep = ~np.isin(old_keys, new_keys)
-        self.table = build_table(
+        table = build_table(
             np.concatenate([hi[keep], nh]),
             np.concatenate([lo[keep], nl]),
             np.concatenate([v0[keep], np.asarray(v0s, np.uint32)]),
             np.concatenate([v1[keep], np.asarray(v1s, np.uint32)]),
             np.concatenate([v2[keep], np.asarray(v2s, np.uint32)]),
             self.config.table)
-        self._build_engines()
+        # copy-on-write swap: in-flight readers keep the old snapshot
+        self.engines = self._make_engines(table)
         return f"added {len(his)}\n"
 
     def fq_lookup_text(self, body: bytes) -> str:
@@ -453,10 +491,14 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
             parts = path.split("/")
             if len(parts) == 4 and parts[3] in ("add", "lookup", "matrix"):
                 key, op = parts[2], parts[3]
-                async with service._lock:
-                    fn = {"add": service.mapping_add_text,
-                          "lookup": service.mapping_lookup_text,
-                          "matrix": service.mapping_matrix_text}[op]
+                fn = {"add": service.mapping_add_text,
+                      "lookup": service.mapping_lookup_text,
+                      "matrix": service.mapping_matrix_text}[op]
+                if op == "add":  # writer: serializes with other adds
+                    async with service._lock:
+                        text = await asyncio.get_event_loop() \
+                            .run_in_executor(None, fn, key, body)
+                else:  # readers snapshot the mapping dict entry
                     text = await asyncio.get_event_loop().run_in_executor(
                         None, fn, key, body)
             else:
@@ -465,17 +507,14 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
             # coalesced: concurrent queries share device batches
             text = await service.batcher.query(body)
         elif method == "POST" and path == "/lookup":
-            async with service._lock:
-                text = await asyncio.get_event_loop().run_in_executor(
-                    None, service.lookup_text, body)
+            text = await asyncio.get_event_loop().run_in_executor(
+                None, service.lookup_text, body)
         elif method == "POST" and path == "/fq_lookup":
-            async with service._lock:
-                text = await asyncio.get_event_loop().run_in_executor(
-                    None, service.fq_lookup_text, body)
+            text = await asyncio.get_event_loop().run_in_executor(
+                None, service.fq_lookup_text, body)
         elif method == "POST" and path == "/matrix":
-            async with service._lock:
-                text = await asyncio.get_event_loop().run_in_executor(
-                    None, service.matrix_text, body)
+            text = await asyncio.get_event_loop().run_in_executor(
+                None, service.matrix_text, body)
         else:
             status, text = "404 Not Found", "unknown endpoint\n"
 
