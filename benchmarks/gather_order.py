@@ -1,13 +1,12 @@
-"""Microbenchmark: large-table gather cost vs size (16B rows).
+"""Microbenchmark: does HBM allocation ORDER change gather cost?
 
-Tables are generated ON DEVICE (cheap — no tunnel transfers), plus one
-host-transferred control of the same shape to detect any layout
-difference between device_put'd and device-computed arrays.  Earlier
-runs disagreed (3.7 vs ~10 ns/row on identical shapes); interleaving a
-768 MB reference measurement between sizes separates real size effects
-from shared-chip tenant noise.
+gather_cliff.py (fresh table per size, ascending) measured ~10 ns/row
+from 128 MB up, while hot_gather.py (one 768 MB table allocated first)
+measured ~3.7 ns/row on the same shape — suggesting the first/lowest
+large allocation gathers fast.  Tables here are generated ON DEVICE (no
+tunnel transfers) to test allocation order cheaply.
 
-Run: python benchmarks/gather_cliff.py
+Run: python benchmarks/gather_order.py
 """
 
 import sys, time
@@ -48,18 +47,22 @@ def g(name, tab):
     rows = tab.shape[0]
     idx = jnp.asarray(rng.integers(0, rows, (B, L)), dtype=jnp.int32)
     dt = timed(jf, tab, idx)
-    print(f"{name:28s}: {(dt-base)/nq*1e9:6.2f} ns/row")
+    print(f"{name:42s}: {(dt-base)/nq*1e9:6.2f} ns/row")
 
-ref = make(48 * (1 << 20) // 16)   # 768 MB reference, measured repeatedly
-g("REF 768MB (device-made)", ref)
-for mb in (16, 64, 128, 256, 512, 1024, 1536, 2048, 3072):
-    tab = make((mb << 20) // 16)
-    g(f"{mb:5d} MB (device-made)", tab)
-    del tab
-    g("REF 768MB again", ref)
+R768 = 48 * (1 << 20) // 16
+R128 = 8 * (1 << 20) // 16
 
-# host-transferred control: same shape as REF, content via device_put
-host = rng.integers(0, 2**32, (48 * (1 << 20) // 16, 4), dtype=np.uint32)
-tr = jax.block_until_ready(jax.device_put(host))
-g("768MB (host-transferred)", tr)
-g("REF 768MB final", ref)
+t1 = make(R768)
+g("t1 768MB (first alloc)", t1)
+t2 = make(R768)
+g("t2 768MB (second alloc)", t2)
+g("t1 again", t1)
+t3 = make(R128)
+g("t3 128MB (third alloc)", t3)
+del t2
+t4 = make(R768)
+g("t4 768MB (after freeing t2)", t4)
+g("t1 again (2)", t1)
+del t1, t3, t4
+t5 = make(R768)
+g("t5 768MB (after freeing all)", t5)

@@ -452,11 +452,24 @@ class FunctionCaller:
         # the (reference-disabled) order_constraint gate lives only in the
         # exact Python path
         if self.use_device and not keep_hits and not self.config.order_constraint:
-            # dispatch every chunk asynchronously, then finalize in order —
-            # host scoring overlaps device compute and transfers
-            pending = [(sub, self._dispatch_device(sub)) for sub in subs()]
-            for sub, out in pending:
-                results.extend(self._finalize_device(sub, out))
+            # bounded async pipeline: keep a few chunks in flight so host
+            # packing/scoring of chunk i overlaps device compute of chunks
+            # i+1..i+DEPTH (dispatches are async; _finalize_device blocks
+            # on chunk i's D2H), while capping in-flight device buffers —
+            # dispatching a million-sequence batch all at once would pin
+            # every chunk's input rows on device simultaneously
+            from collections import deque
+
+            DEPTH = 4
+            pending: deque = deque()
+            for sub in subs():
+                pending.append((sub, self._dispatch_device(sub)))
+                if len(pending) >= DEPTH:
+                    s0, o0 = pending.popleft()
+                    results.extend(self._finalize_device(s0, o0))
+            while pending:
+                s0, o0 = pending.popleft()
+                results.extend(self._finalize_device(s0, o0))
             return results
 
         # the order_constraint gate consumes avg_from_end -> needs aux
