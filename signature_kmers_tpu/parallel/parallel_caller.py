@@ -266,7 +266,6 @@ class ParallelFunctionCaller(FunctionCaller):
             cfg = self.config
             hypo = self.hypo_index
             ignore_hypo = cfg.ignore_hypothetical
-            ntp = self.ntp
             rows = self.device_config.call_batch  # rows per dp shard
             stable = self.stable
             n_tab = len(stable.arrays())
@@ -282,10 +281,14 @@ class ParallelFunctionCaller(FunctionCaller):
                 whi, wlo, call_valid = kmer_pack.pack_call_windows(
                     codes, lengths)
                 found, fm = stable.probe(tabs, whi, wlo)
-                if ntp > 1:
-                    found_i = jax.lax.psum(found.astype(jnp.uint32), "tp")
-                    fm = jax.lax.psum(jnp.where(found, fm, 0), "tp")
-                    found = found_i > 0
+                # psum UNCONDITIONALLY (XLA elides the size-1 collective):
+                # it also normalizes the values' varying-axes type — at
+                # ntp == 1 the un-psummed probe outputs stay tp-varying
+                # while lengths is not, and the automaton scan's carry
+                # types mismatch (shard_map vma check rejects the jit)
+                found_i = jax.lax.psum(found.astype(jnp.uint32), "tp")
+                fm = jax.lax.psum(jnp.where(found, fm, 0), "tp")
+                found = found_i > 0
                 found = found & call_valid
                 func = (fm >> 16).astype(jnp.int32)
                 mean = (fm & jnp.uint32(0xFFFF)).astype(jnp.int32)

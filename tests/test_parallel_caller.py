@@ -68,6 +68,27 @@ class TestParallelCaller:
             assert g.best == w.best
             assert len(g.calls) == len(w.calls)
 
+    def test_matches_single_device_tp1_mesh(self, built):
+        """Regression: a dp-only mesh (tp=1, e.g. 2 devices) used to fail
+        to trace — without the psum the probe outputs stayed tp-varying
+        while lengths was not, and the automaton scan's carry types
+        mismatched under shard_map's vma check (found by
+        benchmarks/scaling_bench.py at n in {1, 2})."""
+        root, table, funcs = built
+        mesh = mesh_mod.make_mesh(2)  # 2 dp x 1 tp
+        assert mesh_mod.tp_size(mesh) == 1
+        dc = DeviceConfig(call_batch=16)
+        pc = ParallelFunctionCaller(table, funcs, device_config=dc,
+                                    mesh=mesh)
+        sc = FunctionCaller(table, funcs, device_config=dc)
+        batch = fasta.SequenceBatch.from_file(root / "Queries" / "queries.fa")
+        got = pc.call_batch(batch)
+        want = sc.call_batch(batch)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.seq_id == w.seq_id
+            assert g.best == w.best
+
     def test_multi_round(self, built):
         root, table, funcs = built
         mesh = mesh_mod.make_mesh(8)
