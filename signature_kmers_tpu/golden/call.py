@@ -71,8 +71,16 @@ def _median(values: Sequence[float]) -> float:
 
 
 def valid_call_windows(codes: np.ndarray, k: int = 8) -> np.ndarray:
-    """Boolean mask over window start positions: True where the window
-    contains neither '*' nor uppercase 'X' (ref: kmer_data.h:76-102)."""
+    """Boolean mask over window start positions: True where the reference's
+    ``for_each_kmer`` would emit the window (ref: kmer_data.h:76-102).
+
+    The exclusion zone around a '*' / uppercase 'X' is K+1 wide, not K:
+    the reference's ambiguity jump tests ``kend >= next_ambig``
+    (kmer_data.h:88-90), so the window that ENDS exactly at an ambiguous
+    character (ambig at p+K) is also skipped.  The final window of the
+    sequence (p+K == n) has no abutting character and is exempt.
+    Cross-validated against the compiled reference for_each_kmer
+    (tests/test_reference_cross.py)."""
     n = codes.shape[0]
     if n < k:
         return np.zeros(0, dtype=bool)
@@ -80,6 +88,7 @@ def valid_call_windows(codes: np.ndarray, k: int = 8) -> np.ndarray:
     ok = np.ones(n - k + 1, dtype=bool)
     for j in range(k):
         ok &= ~ambig[j:n - k + 1 + j]
+    ok[:n - k] &= ~ambig[k:]
     return ok
 
 

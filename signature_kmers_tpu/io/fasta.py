@@ -74,7 +74,6 @@ def iter_fasta(source) -> Iterator[FastaRecord]:
         cur_id: list[str] = []
         cur_def: list[str] = []
         cur_seq: list[str] = []
-        started = False
         while True:
             chunk = fh.read(1 << 16)
             if not chunk:
@@ -85,7 +84,6 @@ def iter_fasta(source) -> Iterator[FastaRecord]:
                 if state == S_START:
                     if c == ">":
                         state = S_ID
-                        started = True
                     # other chars: per-char error, dropped
                 elif state == S_ID:
                     if c in (" ", "\t"):
@@ -118,9 +116,13 @@ def iter_fasta(source) -> Iterator[FastaRecord]:
                         cur_seq.append(c)
                         state = S_DATA
                     # other chars (incl. '*'): error, dropped
-        if started:
-            yield FastaRecord("".join(cur_id), "".join(cur_def),
-                              "".join(cur_seq))
+        # parse_complete() calls the callback UNCONDITIONALLY
+        # (fasta_parser.cc:29-36): even empty/record-less input yields one
+        # final all-empty record (cross-validated against the compiled
+        # reference parser, tests/test_reference_cross.py); consumers
+        # skip empty ids, as all reference callbacks do
+        yield FastaRecord("".join(cur_id), "".join(cur_def),
+                          "".join(cur_seq))
     finally:
         if close:
             fh.close()

@@ -77,10 +77,16 @@ def pack_call_windows(codes, lengths):
     w2 = ok & _shift_left(ok, 1, False)
     w4 = w2 & _shift_left(w2, 2, False)
     w8 = w4 & _shift_left(w4, 4, False)
+    # the reference's ambiguity jump tests kend >= next_ambig
+    # (kmer_data.h:88-90): a window ENDING at an ambiguous char (ambig at
+    # p+K) is also skipped — K+1-wide exclusion.  Fill True: beyond the
+    # sequence the padding codes are INVALID (not ambiguous), so the final
+    # window (p+K == length) stays valid, exactly like the reference.
+    w9 = w8 & _shift_left(ok, K, True)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_seq = pos + K <= lengths[:, None]
-    return hi, lo, w8 & in_seq
+    return hi, lo, w9 & in_seq
 
 
 @jax.jit
@@ -112,7 +118,12 @@ def pack_windows(codes, lengths):
     is_aa = _code_is_aa()[codes]
     not_ambig = ~_code_is_call_ambig()[codes]
     build_valid = _window_all(is_aa, L) & in_seq
-    call_valid = _window_all(not_ambig, L) & in_seq
+    # K+1-wide call exclusion (see pack_call_windows): the window ending
+    # AT an ambiguous char is skipped too; padding codes are INVALID
+    # (not ambiguous) so the sequence-final window stays valid
+    abut_ok = jnp.concatenate(
+        [not_ambig[:, K:], jnp.ones((B, K), dtype=bool)], axis=1)
+    call_valid = _window_all(not_ambig, L) & abut_ok & in_seq
     return {"hi": hi, "lo": lo, "in_seq": in_seq,
             "build_valid": build_valid, "call_valid": call_valid}
 

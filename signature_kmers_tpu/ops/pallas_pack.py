@@ -50,7 +50,12 @@ def _kernel(codes_ref, hi_ref, lo_ref, w8_ref):
           & (c != jnp.uint32(alphabet.X_UPPER_CODE))).astype(jnp.uint32)
     w2 = ok & shift_left(ok, 1, jnp.uint32(0))
     w4 = w2 & shift_left(w2, 2, jnp.uint32(0))
-    w8_ref[:, :] = w4 & shift_left(w4, 4, jnp.uint32(0))
+    w8 = w4 & shift_left(w4, 4, jnp.uint32(0))
+    # K+1-wide exclusion (for_each_kmer's kend >= next_ambig jump,
+    # kmer_data.h:88-90): a window ending AT an ambiguous char is skipped
+    # too.  Fill 1: padding codes are INVALID, never ambiguous, so the
+    # sequence-final window stays valid (see ops/kmer_pack).
+    w8_ref[:, :] = w8 & shift_left(ok, K, jnp.uint32(1))
 
 
 @jax.jit

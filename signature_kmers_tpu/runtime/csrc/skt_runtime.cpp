@@ -138,12 +138,14 @@ long skt_scan_fasta(const char *buf, long n,
         }
         i = j + 1;
     }
-    if (in_seq) {
-        nseq++;
-        code_off[nseq] = ncodes;
-        id_off[nseq] = nid;
-        def_off[nseq] = ndef;
-    }
+    // parse_complete() emits UNCONDITIONALLY (fasta_parser.cc:29-36):
+    // record-less input still yields one final all-empty record
+    // (consumers drop empty-id records, as every reference callback does)
+    nseq++;
+    code_off[nseq] = ncodes;
+    id_off[nseq] = nid;
+    def_off[nseq] = ndef;
+    (void)in_seq;
     return nseq;
 }
 
@@ -447,7 +449,10 @@ long skt_cpu_baseline(const unsigned char *codes, const int64_t *seq_off,
             }
         };
 
-        // rolling window; skip windows containing '*' (52) or 'X' (23)
+        // rolling window; skip windows containing '*' (52) or 'X' (23) —
+        // K+1-wide exclusion: for_each_kmer's jump tests kend >=
+        // next_ambig (kmer_data.h:88-90), so the window ENDING at an
+        // ambiguous char is skipped too (final window exempt)
         for (long p = 0; p + K <= len; p++) {
             bool ok = true;
             uint32_t hi = 0, lo = 0;
@@ -462,6 +467,10 @@ long skt_cpu_baseline(const unsigned char *codes, const int64_t *seq_off,
                     if (c == 52 || c == 23) { ok = false; break; }
                     lo = (lo << 6) | c;
                 }
+            }
+            if (ok && p + K < len) {
+                unsigned char c9 = codes[b + p + K];
+                if (c9 == 52 || c9 == 23) ok = false;
             }
             if (!ok) continue;
             // two-choice bucketed probe (matches bucket_hashes in
@@ -611,6 +620,11 @@ long skt_cpu_baseline_bdz(const unsigned char *codes, const int64_t *seq_off,
                 unsigned char c = codes[b0 + p + j];
                 if (c == 52 || c == 23) { ok = false; break; }  // '*' / 'X'
                 kb[j] = code_to_byte[c & 63];
+            }
+            if (ok && p + 8 < len) {
+                // K+1-wide exclusion (kmer_data.h:88-90, kend >= next_ambig)
+                unsigned char c9 = codes[b0 + p + 8];
+                if (c9 == 52 || c9 == 23) ok = false;
             }
             if (!ok) continue;
             // __jenkins_hash_vector, keylen == 8
