@@ -8,9 +8,14 @@ Defined-behavior policy for reference UB (see FIDELITY.md):
 - HitSet::process with a single buffered hit reads past the buffer in the
   reference (call_functions.tcc:88-91); our spec: treat as "no switch",
   clear the buffer.
-- Ties in the top-2 partial sort are unspecified in the reference
-  (call_functions.tcc:594-597); our spec: stable order by (-count,
-  function_index).
+- The reference's top-2 selection is std::partial_sort over the
+  by-function totals (call_functions.tcc:594-597) — and the ambiguous
+  fallback then reads vec[2], which after partial_sort is NOT the
+  third-largest total but whatever element libstdc++'s __heap_select
+  displacement left at index 2 (call_functions.tcc:631-645).  Deployed
+  reference binaries are libstdc++-compiled, so the spec reproduces that
+  placement exactly (`_ref_top2_order`), ties included; verified against
+  the compiled reference in tests/test_reference_scoring.py.
 """
 
 from __future__ import annotations
@@ -164,6 +169,40 @@ def process_hits(hit_stream: Iterable[KmerHit], seqlen: float,
     return calls
 
 
+def _ref_top2_order(vec: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Replicate ``std::partial_sort(v.begin(), v.begin()+2, v.end(),
+    count-descending)`` as libstdc++ executes it (__heap_select +
+    sort_heap), including remainder placement and tie behavior.
+
+    The reference sorts only the top two entries but later reads
+    ``vec[2]`` for the ambiguous pair_offset (call_functions.tcc:594-597,
+    631-645); index 2 holds the element displaced by the LAST heap pop,
+    not the third-largest count.  Input must be in the reference's
+    pre-sort order: ascending function_index (std::map iteration).
+    Cross-validated against the compiled reference
+    (tests/test_reference_scoring.py)."""
+    v = list(vec)
+    if len(v) < 2:
+        return v
+    # make_heap over v[0:2]: front becomes the smaller count; ties swap
+    if not v[1][1] > v[0][1]:
+        v[0], v[1] = v[1], v[0]
+    for i in range(2, len(v)):
+        if v[i][1] > v[0][1]:
+            # __pop_heap(first, first+2, i): displaced heap-min goes to
+            # position i, the new value sifts into the 2-element heap
+            val = v[i]
+            v[i] = v[0]
+            h1 = v[1]
+            if h1[1] > val[1]:
+                v[0], v[1] = val, h1
+            else:
+                v[0], v[1] = h1, val
+    # sort_heap over v[0:2]: one unconditional pop-swap
+    v[0], v[1] = v[1], v[0]
+    return v
+
+
 def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str],
                    config: CallConfig) -> BestCall:
     """Collapse -> bridge-merge -> fusion -> margin scoring
@@ -248,7 +287,9 @@ def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str
     by_func: dict[int, int] = {}
     for c in merged:
         by_func[c.function_index] = by_func.get(c.function_index, 0) + c.count
-    vec = sorted(by_func.items(), key=lambda kv: (-kv[1], kv[0]))
+    # std::map iteration order (ascending fI), then the reference's exact
+    # partial_sort placement — vec[2] is read by the pair fallback below
+    vec = _ref_top2_order(sorted(by_func.items()))
 
     if len(vec) == 1:
         score_offset = float(vec[0][1])

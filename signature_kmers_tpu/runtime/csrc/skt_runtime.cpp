@@ -319,7 +319,14 @@ long skt_best_call(const int32_t *call_fI, const int32_t *call_count,
                 if (is_multipart[mc.first]) { fusiony = true; break; }
             if (fusiony) { out_kind[s] = 3; continue; }
         }
-        // per-function totals, stable (-count, fI) order
+        // per-function totals in std::map iteration order (ascending fI),
+        // then the reference's EXACT top-2 partial_sort (tcc:594-597).
+        // partial_sort only orders the first two entries — but the pair
+        // fallback below reads totals[2], whose content is libstdc++'s
+        // __heap_select displacement leftover, NOT the third-largest
+        // total.  Using std::partial_sort here (same libstdc++ the
+        // deployed reference links) reproduces that placement by
+        // construction; cross-validated in tests/test_reference_scoring.py.
         totals.clear();
         for (auto &mc : merged) {
             bool found = false;
@@ -328,10 +335,12 @@ long skt_best_call(const int32_t *call_fI, const int32_t *call_count,
             if (!found) totals.emplace_back(mc.first, (int64_t)mc.second);
         }
         std::sort(totals.begin(), totals.end(),
-                  [](const auto &a, const auto &b2) {
-                      if (a.second != b2.second) return a.second > b2.second;
-                      return a.first < b2.first;
-                  });
+                  [](const auto &a, const auto &b2) { return a.first < b2.first; });
+        if (totals.size() > 1)
+            std::partial_sort(totals.begin(), totals.begin() + 2, totals.end(),
+                              [](const auto &a, const auto &b2) {
+                                  return a.second > b2.second;
+                              });
         double offset = totals.size() == 1
             ? (double)totals[0].second
             : (double)(totals[0].second - totals[1].second);

@@ -1,0 +1,11 @@
+#pragma once
+// Shim: boost::filesystem -> std::filesystem for the reference-caller
+// differential build (tests/test_reference_scoring.py).
+#include <filesystem>
+#include <fstream>
+
+namespace boost { namespace filesystem {
+using path = std::filesystem::path;
+using ifstream = std::ifstream;
+using ofstream = std::ofstream;
+}}
