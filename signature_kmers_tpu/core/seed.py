@@ -56,10 +56,19 @@ def is_truncated_comment(s: str) -> bool:
 def roles_of_function(function: str) -> list[str]:
     """Split a (comment-stripped) function into roles.
 
-    ref: seed_utils.h:50-62 — split on " / ", " @ ", or ";<space>".
+    ref: seed_utils.h:50-62 — split on " / ", " @ ", or ";<space>" via
+    sregex_token_iterator(-1), whose semantics differ from re.split in
+    one case: when at least one separator matched, the empty suffix
+    after a FINAL separator is not emitted; with no separator at all the
+    whole string is one role even when empty.  Leading and interior
+    empty tokens are kept.  Cross-validated against the compiled
+    reference seed_utils (tests/test_reference_grammar_distance.py).
     """
     stripped = strip_func_comment(function)
-    return _SPLIT_FUNCTION_RE.split(stripped)
+    roles = _SPLIT_FUNCTION_RE.split(stripped)
+    if len(roles) > 1 and roles[-1] == "":
+        roles.pop()
+    return roles
 
 
 def split_literal(s: str, delim: str) -> list[str]:

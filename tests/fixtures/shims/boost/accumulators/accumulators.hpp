@@ -9,6 +9,7 @@
 namespace boost { namespace accumulators {
 
 namespace tag {
+struct count {};
 struct mean {};
 struct median {};
 struct variance {};
@@ -16,21 +17,36 @@ struct variance {};
 
 template <class... T> struct stats {};
 
+// NOTE on fidelity: real boost's sum accumulator stores the SAMPLE type
+// (sum of float parts stays float — matched here, the fusion path needs
+// it).  Fields computed through this shim (mean/median/variance of the
+// build accumulators) are NOT compared in the differential tests, since
+// they would only validate this shim, not boost (boost's P2 median is
+// approximate anyway; FIDELITY.md).
 template <class Sample, class Features>
 struct accumulator_set {
     Sample sum_ = 0;
-    Sample sumsq_ = 0;
+    double sumsq_ = 0;
     std::size_t n_ = 0;
-    void operator()(Sample x) { sum_ += x; sumsq_ += x * x; ++n_; }
+    void operator()(Sample x) { sum_ += x; sumsq_ += (double)x * x; ++n_; }
 };
 
 template <class S, class F>
 S mean(const accumulator_set<S, F> &a) { return a.sum_ / (S)a.n_; }
 
 template <class S, class F>
-S variance(const accumulator_set<S, F> &a) {
-    S m = a.sum_ / (S)a.n_;
-    return a.sumsq_ / (S)a.n_ - m * m;
+std::size_t count(const accumulator_set<S, F> &a) { return a.n_; }
+
+template <class S, class F>
+double median(const accumulator_set<S, F> &a) {
+    // stand-in (real boost: P2 streaming estimate); never compared
+    return (double)a.sum_ / (double)a.n_;
+}
+
+template <class S, class F>
+double variance(const accumulator_set<S, F> &a) {
+    double m = (double)a.sum_ / (double)a.n_;
+    return a.sumsq_ / (double)a.n_ - m * m;
 }
 
 }}  // namespace boost::accumulators

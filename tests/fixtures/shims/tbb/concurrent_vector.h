@@ -5,6 +5,8 @@
 #include <iterator>
 #include <vector>
 
+#include "parallel_for.h"  // single home of the serial parallel_for shim
+
 namespace tbb {
 
 template <class T>
@@ -23,8 +25,5 @@ public:
         return std::prev(this->end());
     }
 };
-
-template <class Range, class Body>
-void parallel_for(const Range &r, const Body &body) { body(r); }
 
 }  // namespace tbb
