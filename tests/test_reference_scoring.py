@@ -188,6 +188,32 @@ def test_fuzz_vs_reference(driver, tmp_path, seed, min_hits, ignore_hypo):
             ignore_hypo=ignore_hypo, min_hits=min_hits, max_gap=max_gap)
 
 
+@pytest.mark.parametrize("seed,period", [(7, 1), (8, 2), (9, 3)])
+def test_switch_heavy_vs_reference(driver, tmp_path, seed, period):
+    """Adversarial function alternation: every `period` registered
+    windows flip between two functions, stressing the keep-last-two
+    switch rule and flush interleaving (call_functions.tcc:88-99,
+    320-327)."""
+    rng = np.random.default_rng(seed)
+    function_index = ["hypothetical protein", "fA", "fB", "fC"]
+    table = {}
+    seqs = []
+    for _ in range(25):
+        n = int(rng.integers(60, 300))
+        seq = "".join(rng.choice(list(AA), n))
+        fis = [1 + (p // period) % 2 for p in range(n - K + 1)]
+        if rng.random() < 0.3:  # third function sprinkled in
+            for p in np.nonzero(rng.random(n - K + 1) < 0.1)[0]:
+                fis[p] = 3
+        for p in range(n - K + 1):
+            if rng.random() < 0.85:
+                table.setdefault(seq[p:p + K],
+                                 (10, fis[p], n, n, 0))
+        seqs.append(seq)
+    compare(driver, tmp_path, table, function_index, seqs,
+            min_hits=3, max_gap=40)
+
+
 def test_fusion_called_exactly(driver, tmp_path):
     """Deterministic A-W-B fusion: median(A)+median(B) == median(W) fires
     the fusion path (regex + f32 part-mean check, tcc:456-565)."""
