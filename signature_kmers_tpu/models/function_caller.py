@@ -114,11 +114,19 @@ class FunctionCaller:
 
     # -- hit gathering -----------------------------------------------------
 
-    def _full_device_fn(self, L: int):
+    def _full_device_fn(self, L: int, W: int | None = None):
         """Fused device expand + pack + probe + device automaton:
         16-code-aligned packed rows go up (see pack_u6_rows_host), only
-        (B, REC_CAP) call records come back."""
-        key = ("full", L)
+        (B, REC_CAP) call records come back.
+
+        W trims the window axis before the probe: gather cost is
+        proportional to the INDEX COUNT (benchmarks/gather_width.py, ~10
+        ns/row at any width), and the 128-bucketed code width L can
+        carry up to ~25% padding windows past the chunk's true maximum
+        sequence length.  W must satisfy W >= maxlen - k + 1 (all valid
+        windows retained); callers pass the 32-bucketed value."""
+        W = L if W is None else W
+        key = ("full", L, W)
         if key not in self._gather_jit:
             import jax
 
@@ -141,6 +149,10 @@ class FunctionCaller:
                                                 lengths, L)
                 whi, wlo, call_valid = kmer_pack.pack_call_windows(
                     codes, lengths)
+                if W < L:  # drop padding windows before the probe
+                    whi = whi[:, :W]
+                    wlo = wlo[:, :W]
+                    call_valid = call_valid[:, :W]
                 found, fm = pfn(*table_arrays, whi, wlo)
                 found = found & call_valid
                 func = (fm >> 16).astype(jnp.int32)
@@ -182,7 +194,11 @@ class FunctionCaller:
         # row count -> few distinct compile shapes, minimal H2D bytes
         packed_rows, start_row, lengths = kmer_pack.pack_u6_rows_host(
             sub.codes, sub.offsets, rows, L)
-        f, arrays = self._full_device_fn(L)
+        # probe width: smallest 32-multiple covering every valid window
+        # (window p is valid iff p + k <= len; max p = nat - k)
+        k = self.config.k
+        W = min(L, max(32, -(-(max(nat, k) - k + 1) // 32) * 32))
+        f, arrays = self._full_device_fn(L, W)
         out = f(*arrays, jnp.asarray(packed_rows),
                 jnp.asarray(start_row), jnp.asarray(lengths))
         return out

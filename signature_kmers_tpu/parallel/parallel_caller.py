@@ -252,8 +252,9 @@ class ParallelFunctionCaller(FunctionCaller):
             self.stable = ShardedBucketTable.from_table(table, self.ntp)
         self._pjit = {}
 
-    def _parallel_fn(self, L: int, F: int):
-        key = (L, F)
+    def _parallel_fn(self, L: int, F: int, W: int | None = None):
+        W = L if W is None else W
+        key = (L, F, W)
         if key not in self._pjit:
             import jax
             import jax.numpy as jnp
@@ -280,6 +281,10 @@ class ParallelFunctionCaller(FunctionCaller):
                                                 lengths, L)
                 whi, wlo, call_valid = kmer_pack.pack_call_windows(
                     codes, lengths)
+                if W < L:  # drop padding windows before the probe
+                    whi = whi[:, :W]
+                    wlo = wlo[:, :W]
+                    call_valid = call_valid[:, :W]
                 found, fm = stable.probe(tabs, whi, wlo)
                 # psum UNCONDITIONALLY (XLA elides the size-1 collective):
                 # it also normalizes the values' varying-axes type — at
@@ -352,7 +357,10 @@ class ParallelFunctionCaller(FunctionCaller):
                 flats.append(np.concatenate([p, pad]) if pad.shape[0]
                              else p)
                 offs.append((s_arr, l_arr))
-            fn = self._parallel_fn(L, R)
+            # probe-width trim, as in FunctionCaller._dispatch_device
+            k = self.config.k
+            W = min(L, max(32, -(-(max(Lmax, k) - k + 1) // 32) * 32))
+            fn = self._parallel_fn(L, R, W)
             out = fn(*(jnp.asarray(a) for a in self.stable.arrays()),
                      jnp.asarray(np.stack(flats)),
                      jnp.asarray(np.stack([o[0] for o in offs])),
