@@ -208,7 +208,7 @@ def main():
         ((seq_len + 127) // 128) * 128)
     L_pad = ((seq_len + 127) // 128) * 128
     # same probe-width trim the production dispatch uses
-    W = min(L_pad, max(32, -(-(seq_len - cfg.call.k + 1) // 32) * 32))
+    W = min(L_pad, max(16, -(-(seq_len - cfg.call.k + 1) // 16) * 16))
     f, arrays = caller._full_device_fn(L_pad, W)
     dev_in = [jax.device_put(a) for a in (pr, sr, ln)]
     # sync via a scalar pull: block_until_ready does NOT wait through the

@@ -124,7 +124,7 @@ class FunctionCaller:
         ns/row at any width), and the 128-bucketed code width L can
         carry up to ~25% padding windows past the chunk's true maximum
         sequence length.  W must satisfy W >= maxlen - k + 1 (all valid
-        windows retained); callers pass the 32-bucketed value."""
+        windows retained); callers pass the 16-bucketed value (16 = automaton UNROLL)."""
         W = L if W is None else W
         key = ("full", L, W)
         if key not in self._gather_jit:
@@ -194,10 +194,10 @@ class FunctionCaller:
         # row count -> few distinct compile shapes, minimal H2D bytes
         packed_rows, start_row, lengths = kmer_pack.pack_u6_rows_host(
             sub.codes, sub.offsets, rows, L)
-        # probe width: smallest 32-multiple covering every valid window
+        # probe width: smallest 16-multiple covering every valid window
         # (window p is valid iff p + k <= len; max p = nat - k)
         k = self.config.k
-        W = min(L, max(32, -(-(max(nat, k) - k + 1) // 32) * 32))
+        W = min(L, max(16, -(-(max(nat, k) - k + 1) // 16) * 16))
         f, arrays = self._full_device_fn(L, W)
         out = f(*arrays, jnp.asarray(packed_rows),
                 jnp.asarray(start_row), jnp.asarray(lengths))

@@ -145,11 +145,23 @@ class MatrixDistance:
             import jax
             import jax.numpy as jnp
 
-            if not hasattr(self, "_jit_gather"):
+            if not hasattr(self, "_jit_gather_cache"):
+                self._jit_gather_cache = {}
+            # probe-width trim (see FunctionCaller._full_device_fn):
+            # gather cost is per-INDEX, and the aux probe gathers full
+            # value rows — drop padding windows past the batch max length
+            k = self.config.k
+            B, L = codes.shape
+            nat = int(lengths.max()) if lengths.size else k
+            W = min(L, max(16, -(-(max(nat, k) - k + 1) // 16) * 16))
+            if W not in self._jit_gather_cache:
                 from ..ops import probe as probe_ops
 
-                pfn, self._dev_arrays = probe_ops.table_probe(
-                    self.table, with_aux=True)
+                if not hasattr(self, "_dev_arrays"):
+                    # one table upload shared by every W-keyed program
+                    self._pfn, self._dev_arrays = probe_ops.table_probe(
+                        self.table, with_aux=True)
+                pfn = self._pfn
                 n_tab = len(self._dev_arrays)
                 hypo = self.hypo_index
                 w = self.config.len_sigma_window
@@ -161,8 +173,13 @@ class MatrixDistance:
                 def f(*args):
                     table_arrays = args[:n_tab]
                     codes, lengths = args[n_tab:]
+                    Lc = codes.shape[1]
                     whi, wlo, call_valid = kmer_pack.pack_call_windows(
                         codes, lengths)
+                    if W < Lc:
+                        whi = whi[:, :W]
+                        wlo = wlo[:, :W]
+                        call_valid = call_valid[:, :W]
                     found, fm, r0, r1, r2 = pfn(*table_arrays, whi, wlo)
                     found = found & call_valid
                     func = (r0 >> 16).astype(jnp.int32)
@@ -190,10 +207,14 @@ class MatrixDistance:
                             jnp.sqrt(var.astype(jnp.float32)))
                         df = d.astype(jnp.float32)
                         okl = jnp.abs(df) <= jnp.float32(w) * stddev
-                    return found & okl
+                    res = found & okl
+                    Lc2 = args[n_tab].shape[1]
+                    if W < Lc2:  # restore position alignment for the host
+                        res = jnp.pad(res, ((0, 0), (0, Lc2 - W)))
+                    return res
 
-                self._jit_gather = f
-            found = np.asarray(self._jit_gather(
+                self._jit_gather_cache[W] = f
+            found = np.asarray(self._jit_gather_cache[W](
                 *self._dev_arrays, jnp.asarray(codes),
                 jnp.asarray(lengths)))
             return found

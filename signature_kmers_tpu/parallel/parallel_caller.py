@@ -359,7 +359,7 @@ class ParallelFunctionCaller(FunctionCaller):
                 offs.append((s_arr, l_arr))
             # probe-width trim, as in FunctionCaller._dispatch_device
             k = self.config.k
-            W = min(L, max(32, -(-(max(Lmax, k) - k + 1) // 32) * 32))
+            W = min(L, max(16, -(-(max(Lmax, k) - k + 1) // 16) * 16))
             fn = self._parallel_fn(L, R, W)
             out = fn(*(jnp.asarray(a) for a in self.stable.arrays()),
                      jnp.asarray(np.stack(flats)),
