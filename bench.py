@@ -30,6 +30,7 @@ proteins.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -234,19 +235,65 @@ def main():
           f"(rounds: {', '.join(f'{d*1e3:.1f}' for d in round_dts)} ms)",
           file=sys.stderr)
 
+    # --- gather-state probe ---------------------------------------------
+    # The chip's large-table row gathers sit in one of two states (~3.7 vs
+    # ~10+ ns/row; docs/PERF.md round-2/3 addenda) that flips on minute+
+    # scales under shared tenancy, outside program control (experiment
+    # matrix: benchmarks/gather_{cliff,order,copies,matrix,regime}.py).
+    # Measure which state this bench ran in and project the fast-state
+    # number so both are recorded honestly.
+    gather_ns = 0.0
+    value_fast = value
+    if dev.platform != "cpu":
+        import jax.numpy as jnp
+
+        tab = max((a for a in arrays if hasattr(a, "nbytes")),
+                  key=lambda a: a.nbytes)
+        n_idx = chunk * W
+        rng = np.random.default_rng(5)
+        jidx = jax.device_put(
+            rng.integers(0, tab.shape[0], n_idx).astype(np.int32))
+        jnull = jax.jit(lambda i: (i[:8] & 1).sum())
+        jg = jax.jit(lambda t, i: (t[i] & 1).sum().astype(jnp.int32))
+
+        def best_of(fn, *a, reps=4):
+            _ = int(fn(*a))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = int(fn(*a))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        gather_ns = max(
+            0.0, (best_of(jg, tab, jidx) - best_of(jnull, jidx))
+            / n_idx * 1e9)
+        if gather_ns > 5.5:
+            # remove the slow-state excess over the measured fast state
+            dt_fast = dt_c - (gather_ns - 3.7) * n_idx * 1e-9
+            if dt_fast > 0:
+                value_fast = chunk / dt_fast
+        print(f"gather state: {gather_ns:.1f} ns/row on the "
+              f"{tab.nbytes >> 20} MB main table "
+              f"({'SLOW' if gather_ns > 5.5 else 'fast'} state; fast-state "
+              f"projection {value_fast:,.0f} seqs/s/chip)", file=sys.stderr)
+
     # --- CPU baselines ---------------------------------------------------
     vs_baseline = 0.0
     e2e_vs_baseline = 0.0
     cpu_ref_rate = 0.0
     cpu_opt_rate = 0.0
+    cpu_mt_rate = 0.0
     vs_cpu_opt = 0.0
+    vs_cpu_mt = 0.0
     if host.available():
         sub = min(n_queries, 2048)
         so = (offsets[:sub + 1]).astype(np.int64)
         aargs = (cfg.call.min_hits, cfg.call.max_gap, cfg.call.k,
                  cfg.call.mad_floor, cfg.call.len_mad_window)
         mph, vals = bdz
-        best_ref = best_opt = float("inf")
+        mt_threads = min(8, os.cpu_count() or 1)
+        best_ref = best_opt = best_mt = float("inf")
         for _ in range(3):  # best-of-3: shared-host timing noise is large
             t0 = time.perf_counter()
             host.cpu_baseline_call_bdz(flat[:so[-1]], so, mph, vals, *aargs)
@@ -254,17 +301,26 @@ def main():
             t0 = time.perf_counter()
             host.cpu_baseline_call(flat[:so[-1]], so, cpu_table, *aargs)
             best_opt = min(best_opt, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            host.cpu_baseline_call_bdz(flat[:so[-1]], so, mph, vals, *aargs,
+                                       n_threads=mt_threads)
+            best_mt = min(best_mt, time.perf_counter() - t0)
         cpu_ref_rate = sub / best_ref
         cpu_opt_rate = sub / best_opt
+        cpu_mt_rate = sub / best_mt
         print(f"cpu baseline (authentic cmph-bdz read path): "
               f"{cpu_ref_rate:,.0f} seqs/s (single thread, best of 3)",
               file=sys.stderr)
         print(f"cpu baseline (optimized cuckoo probe):       "
               f"{cpu_opt_rate:,.0f} seqs/s (single thread, best of 3)",
               file=sys.stderr)
+        print(f"cpu baseline (authentic path, {mt_threads} threads):    "
+              f"{cpu_mt_rate:,.0f} seqs/s (best of 3; reference "
+              f"--n-threads equivalent)", file=sys.stderr)
         vs_baseline = value / cpu_ref_rate
         e2e_vs_baseline = e2e / cpu_ref_rate
         vs_cpu_opt = value / cpu_opt_rate
+        vs_cpu_mt = value / cpu_mt_rate
 
     print(json.dumps({
         "metric": "call_seqs_per_s_per_chip",
@@ -276,6 +332,13 @@ def main():
         # optimized CPU re-creation (faster than the real reference)
         "cpu_opt_seqs_per_s": round(cpu_opt_rate, 1),
         "vs_cpu_opt": round(vs_cpu_opt, 2),
+        # authentic read path at 8 threads (reference --n-threads style)
+        "cpu_mt_seqs_per_s": round(cpu_mt_rate, 1),
+        "vs_cpu_mt": round(vs_cpu_mt, 2),
+        # the chip's two-state gather regime (docs/PERF.md): which state
+        # this run measured, and the projected fast-state value
+        "gather_ns_per_row": round(gather_ns, 2),
+        "fast_state_projection_seqs_per_s": round(value_fast, 1),
         "e2e_over_link_seqs_per_s": round(e2e, 1),
         "e2e_over_link_vs_baseline": round(e2e_vs_baseline, 2),
         # fraction of sequences re-called on the exact host path

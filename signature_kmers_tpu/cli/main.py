@@ -59,6 +59,11 @@ def _add_build(sub):
                    help="shard the selection pass over all local devices")
     p.add_argument("--host-only", action="store_true",
                    help="skip device pipelines (debug)")
+    p.add_argument("--p2-stats", action="store_true",
+                   help="reference-compatible StoredKmerData statistics: "
+                        "P-square median + boost iterative variance + "
+                        "ushort-wrapped mean (signature_build.tcc:262-279) "
+                        "instead of exact stats; host-side (FIDELITY.md)")
     p.add_argument("--table-layout", default="wide",
                    choices=["wide", "wide-compact", "cuckoo"],
                    help="signature-table HBM layout (see table/wide_table.py)")
@@ -72,7 +77,8 @@ def cmd_build(args):
     cfg = Config()
     cfg = dataclasses.replace(
         cfg, build=dataclasses.replace(
-            cfg.build, min_reps_required=args.min_reps_required),
+            cfg.build, min_reps_required=args.min_reps_required,
+            p2_stats=getattr(args, "p2_stats", False)),
         table=dataclasses.replace(cfg.table, layout=args.table_layout))
     good_functions = paths.load_strings(args.good_functions)
     good_roles = paths.load_strings(args.good_roles)
@@ -132,7 +138,7 @@ def cmd_call(args):
 
     from ..parallel import distributed
 
-    distributed.initialize()
+    multi = distributed.initialize()
     cfg = Config()
     table, function_index = pipeline.load_data_dir(
         args.data_dir, cfg,
@@ -143,14 +149,39 @@ def cmd_call(args):
         from ..parallel.mesh import make_mesh
         from ..parallel.parallel_caller import ParallelFunctionCaller
 
+        # multi-host: each process keeps a LOCAL mesh over its own
+        # devices and takes a disjoint file slice (below) — the
+        # reference's "disjoint files per job" model with in-process
+        # collectives per host.  A process-spanning global mesh is the
+        # tp-over-pod path (tests/test_multiprocess.py exercises it);
+        # for file-parallel calling, local meshes avoid lockstep chunks.
+        import jax
+
         caller = ParallelFunctionCaller(
             table, function_index, call_cfg, cfg.device,
-            mesh=make_mesh(tp=args.tp))
+            mesh=make_mesh(n_devices=len(jax.local_devices())
+                           if multi else None,
+                           tp=args.tp))
     else:
         caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
-    out = open(args.output_file, "w") if args.output_file else sys.stdout
+
+    # multi-host I/O sharding (ref: each job takes disjoint inputs,
+    # kmers-matrix-distance-folder.cc:108-116): every process parses and
+    # calls only its own slice, writes a private shard, and process 0
+    # concatenates after the barrier — input parsing scales with hosts.
+    my_files = distributed.shard_inputs(args.input_files)
+    shard_path = None
+    if multi and args.output_file:
+        import jax
+
+        shard_path = f"{args.output_file}.shard{jax.process_index():05d}"
+        out = open(shard_path, "w")
+    elif args.output_file:
+        out = open(args.output_file, "w")
+    else:
+        out = sys.stdout
     try:
-        for path in args.input_files:
+        for path in my_files:
             batch = fasta_io.read_fasta_batch(path)
             results = caller.call_batch(batch, keep_hits=args.debug_hits) \
                 if args.debug_hits else caller.call_batch(batch)
@@ -174,6 +205,21 @@ def cmd_call(args):
     finally:
         if out is not sys.stdout:
             out.close()
+    if shard_path is not None:
+        import jax
+
+        distributed.barrier("call-shards-written")
+        if distributed.is_main():
+            # merge shards in file-slice order (shard p held files
+            # p::nproc; interleaving by round-robin restores input order
+            # only per-shard — concatenate by process id, documented)
+            with open(args.output_file, "w") as merged:
+                for p in range(jax.process_count()):
+                    sp = f"{args.output_file}.shard{p:05d}"
+                    with open(sp) as f:
+                        merged.write(f.read())
+                    Path(sp).unlink()
+        distributed.barrier("call-shards-merged")
     return 0
 
 
@@ -284,13 +330,19 @@ def _add_matrix_folder(sub):
 
 
 def cmd_matrix_folder(args):
+    from ..parallel import distributed
+
+    distributed.initialize()
     cfg = Config()
     table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
     md = MatrixDistance(table, function_index, cfg.distance, cfg.device)
     in_dir = Path(args.input_dir)
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    for f in sorted(in_dir.iterdir()):
+    # multi-host: disjoint file slices per process (the reference's
+    # multi-job sharding made explicit); the per-output existence skip
+    # below additionally keeps ANY set of concurrent/restarted jobs safe
+    for f in distributed.shard_inputs(sorted(in_dir.iterdir())):
         if not f.is_file():
             continue
         out = out_dir / f.name
@@ -329,7 +381,13 @@ def cmd_matrix_merge(args):
     if not genus_dirs:
         print(f"No valid genus directories found in {base}", file=sys.stderr)
         return 1
+    from ..parallel import distributed
+
+    distributed.initialize()
     work = args.family_ids or [str(i) for i in range(len(function_index))]
+    # multi-host: disjoint family slices per process (the reference
+    # shards -merge jobs by family id lists, *-merge.cc:125-135)
+    work = distributed.shard_inputs(work)
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     for fam in work:
@@ -361,6 +419,12 @@ def _add_serve(sub):
     p.add_argument("--kmer-family-distribution", metavar="FILE",
                    help="write per-function signature-k-mer counts at "
                         "startup (ref: kmers-server.cc:254-263)")
+    p.add_argument("--mesh", action="store_true",
+                   help="dispatch onto a dp x tp device mesh: queries "
+                        "dp-sharded, the signature table tp-sharded "
+                        "across chips (BASELINE service config)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="table-parallel shards within the mesh")
     p.set_defaults(func=cmd_serve)
 
 
@@ -369,8 +433,13 @@ def cmd_serve(args):
 
     from ..service.server import AnnotationService, serve
 
+    mesh = None
+    if getattr(args, "mesh", False):
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
     if args.no_listen or args.kmer_family_distribution:
-        svc = AnnotationService(args.data_dir)
+        svc = AnnotationService(args.data_dir, mesh=mesh)
         if args.kmer_family_distribution:
             svc.write_kmer_distribution(args.kmer_family_distribution)
             print(f"write distribution to {args.kmer_family_distribution}",
@@ -391,7 +460,7 @@ def cmd_serve(args):
             os.dup2(devnull, fd)
     if args.pid_file:
         Path(args.pid_file).write_text(f"{os.getpid()}\n")
-    serve(args.data_dir, host=args.host, port=args.port)
+    serve(args.data_dir, host=args.host, port=args.port, mesh=mesh)
     return 0
 
 

@@ -17,6 +17,11 @@ class BuildConfig:
     max_seqs_per_file: int = 100000     # ref: kmers-build-signatures.cc:18
     min_reps_required: int = 3          # ref: kmers-build-signatures.cc:140
     signature_threshold: float = 0.8    # ref: signature_build.tcc:250
+    # opt-in reference-compatible StoredKmerData statistics: P-square
+    # median + boost iterative variance + ushort-wrapped mean sum
+    # (signature_build.tcc:262-279) instead of this framework's exact
+    # stats; forces the host selection path (see FIDELITY.md)
+    p2_stats: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -201,18 +201,28 @@ def _assign(edges: np.ndarray, rounds, n: int) -> np.ndarray:
 
 
 def build_bdz(keys: np.ndarray, b: int = 7, c: float = 1.23,
-              seed0: int = 0x5EED) -> BdzMph:
+              seed0: int = 0x5EED, native: "bool | None" = None) -> BdzMph:
     """Construct a BDZ MPH over (N, 8) uint8 keys (bdz_new semantics:
-    r = ceil(c*m/3) forced odd, n = 3r, rank block k = 1<<b)."""
+    r = ceil(c*m/3) forced odd, n = 3r, rank block k = 1<<b).
+
+    The peel + assign runs natively when the toolchain is available
+    (runtime skt_bdz_build_try; ~20x at 20M keys) with this module's
+    vectorized numpy construction as the byte-identical fallback/oracle;
+    `native=False` forces the numpy path (differential tests)."""
     keys = np.ascontiguousarray(keys, dtype=np.uint8)
     m = keys.shape[0]
     if m == 0:
         raise ValueError("cannot build an MPH over zero keys")
+    if native is None or native:
+        from ..runtime import host
+
+        use_native = host.available() and keys.shape[1] == 8
+    else:
+        use_native = False
     r = int(np.ceil(c * m / 3.0))
     if r % 2 == 0:
         r += 1
     rng = np.random.default_rng(seed0)
-    rounds = None
     for it in range(_MAX_ITER):
         if it and it % 20 == 0:
             # tiny key sets can make r so small every seed collides
@@ -223,6 +233,14 @@ def build_bdz(keys: np.ndarray, b: int = 7, c: float = 1.23,
                 r += 1
         n = 3 * r
         seed = int(rng.integers(0, 2**32, dtype=np.uint64))
+        if use_native:
+            from ..runtime import host
+
+            out = host.bdz_build_try(keys, seed, r, b)
+            if out is None:
+                continue
+            g, ranktable = out
+            return BdzMph(seed, n, m, r, g, 1 << b, b, ranktable)
         edges = _edges_for_seed(keys, seed, r)
         rounds = _peel(edges, n)
         if rounds is not None:
@@ -240,13 +258,23 @@ def build_bdz(keys: np.ndarray, b: int = 7, c: float = 1.23,
     return BdzMph(seed, n, m, r, g, k, b, ranktable)
 
 
-def bdz_search(mph: BdzMph, keys: np.ndarray) -> np.ndarray:
+def bdz_search(mph: BdzMph, keys: np.ndarray,
+               native: "bool | None" = None) -> np.ndarray:
     """Vectorized bdz_search (bdz.c): keys (N, 8) uint8 -> uint32 indices.
 
     For member keys the result is the key's unique slot in [0, m); for
     alien keys it is an arbitrary value in [0, m] — exactly the aliasing
-    the reference's fetch exhibits (cmph_kmer.h:138-147).
+    the reference's fetch exhibits (cmph_kmer.h:138-147).  Runs natively
+    (threaded, ranktable + byte-scan rank like bdz.c) when the toolchain
+    is present; `native=False` forces this numpy path.
     """
+    keys = np.ascontiguousarray(keys, dtype=np.uint8)
+    if native is None or native:
+        from ..runtime import host
+
+        if host.available() and keys.ndim == 2 and keys.shape[1] == 8:
+            return host.bdz_search(keys, mph.seed, mph.r, mph.g,
+                                   mph.ranktable, mph.b)
     h0, h1, h2 = jenkins_hash3_bytes(mph.seed, keys)
     r = np.uint32(mph.r)
     hl = np.stack([(h0 % r).astype(np.int64),

@@ -343,8 +343,6 @@ class FunctionCaller:
         self.rows_host_fallback += len(slow_rows)
         for i in slow_rows:
             # exact host fallback for flush-heavy sequences (rare)
-            codes = np.full((1, 1 + len(sub.codes)), alphabet.INVALID_CODE,
-                            dtype=np.uint8)
             seq = sub.codes[sub.offsets[i]:sub.offsets[i + 1]]
             row = np.full((1, max(128, seq.shape[0])),
                           alphabet.INVALID_CODE, dtype=np.uint8)

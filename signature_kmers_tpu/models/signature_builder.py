@@ -59,6 +59,108 @@ def _finalize_stats_np(best_count, s_best, sq_hi, sq_lo, med_lo, med_hi):
     return mean_u16, median_u16, var_u16
 
 
+def _p2_boost_stats_np(p_s, sbe, cnt):
+    """Opt-in boost::accumulators-compatible statistics (BuildConfig
+    .p2_stats): per kept k-mer, (mean, median, var) over the best-function
+    protein lengths with the REFERENCE's accumulator semantics
+    (signature_build.tcc:262-279) instead of this framework's exact spec:
+
+      - mean:   tag::mean on an accumulator_set<unsigned short, ...> —
+                the running sum is kept in the SAMPLE type, so it wraps
+                mod 65536 before the division (sum % 65536) / n;
+      - median: tag::median = the P-square quantile estimator at p=0.5
+                (Jain & Chhikara 1985, the published algorithm boost
+                implements) — approximate and insertion-order dependent;
+      - var:    tag::variance — boost's iterative formula
+                var = var*(n-1)/n + (x - mean_n)^2/(n-1) with mean_n the
+                immediate mean AFTER including x (double precision).
+
+    Insertion order is defined as SORTED-CANONICAL: occurrences ordered
+    by ascending protein length (the plen-sorted best-function run the
+    selection pass produces).  The reference's own order is the TBB
+    multimap iteration order — nondeterministic run to run — so exact
+    byte-reproduction of a given reference run is possible only when that
+    run's order happened to be equivalent; see FIDELITY.md.  For counts
+    < 5 the P-square markers are not yet initialized and the estimator
+    reads its middle height slot (3rd inserted sample, or 0 when fewer
+    than 3 samples) — replicated as the deterministic spec.
+
+    p_s: plen-sorted entry array; sbe/cnt: per-group start and length of
+    the best-function run.  Vectorized across groups, sequential in the
+    per-group sample index (the P-square recurrence is inherently
+    sequential).  Returns (mean16, median16, var16).
+    """
+    G = int(sbe.shape[0])
+    if G == 0:
+        z = np.zeros(0, np.uint16)
+        return z, z, z
+    maxc = int(cnt.max())
+    heights = np.zeros((G, 5))
+    npos = np.zeros((G, 5))                  # actual marker positions
+    dpos = np.array([0.0, 0.25, 0.5, 0.75, 1.0])  # desired increments, p=.5
+    desired = np.zeros((G, 5))
+    mean_imm = np.zeros(G)
+    var_it = np.zeros(G)
+    total = np.zeros(G, np.int64)            # exact sum; wrapped at the end
+    for t in range(maxc):
+        act = cnt > t
+        x = p_s[np.minimum(sbe + t, p_s.shape[0] - 1)].astype(np.float64)
+        c = t + 1
+        # iterative mean/variance (boost immediate_mean / variance_impl)
+        mean_new = (mean_imm * t + x) / c
+        if c > 1:
+            tmp = x - mean_new
+            var_new = var_it * ((c - 1) / c) + tmp * tmp / (c - 1)
+            var_it = np.where(act, var_new, var_it)
+        mean_imm = np.where(act, mean_new, mean_imm)
+        total = np.where(act, total + x.astype(np.int64), total)
+        # P-square median markers
+        if t < 5:
+            heights[act, t] = x[act]
+            if t == 4:
+                rows = act
+                heights[rows] = np.sort(heights[rows], axis=1)
+                npos[rows] = np.arange(1, 6)
+                desired[rows] = np.arange(1.0, 6.0)
+        else:
+            a = act
+            xa = x
+            # locate the sample's cell k in 0..3; extreme samples move
+            # the end markers
+            below = a & (xa < heights[:, 0])
+            heights[below, 0] = xa[below]
+            above = a & (xa >= heights[:, 4])
+            heights[above, 4] = xa[above]
+            k = np.clip((heights[:, :4].T <= xa).T.sum(axis=1) - 1, 0, 3)
+            k = np.where(below, 0, np.where(above, 3, k))
+            bump = (np.arange(5) > k[:, None]) & a[:, None]
+            npos += bump
+            desired += np.where(a[:, None], dpos, 0.0)
+            for i in (1, 2, 3):
+                d = desired[:, i] - npos[:, i]
+                move = a & (((d >= 1) & (npos[:, i + 1] - npos[:, i] > 1))
+                            | ((d <= -1) & (npos[:, i - 1] - npos[:, i] < -1)))
+                s = np.sign(d)
+                nim, ni, nip = npos[:, i - 1], npos[:, i], npos[:, i + 1]
+                qim, qi, qip = heights[:, i - 1], heights[:, i], heights[:, i + 1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    qp = qi + s / (nip - nim) * (
+                        (ni - nim + s) * (qip - qi) / (nip - ni)
+                        + (nip - ni - s) * (qi - qim) / (ni - nim))
+                    lin = qi + s * np.where(
+                        s >= 0, (qip - qi) / (nip - ni),
+                        (qim - qi) / (nim - ni))
+                use_p = (qim < qp) & (qp < qip)
+                qnew = np.where(use_p, qp, lin)
+                heights[:, i] = np.where(move, qnew, heights[:, i])
+                npos[:, i] = np.where(move, ni + s, ni)
+    median = heights[:, 2]
+    mean = (total % 65536) / cnt                       # ushort-wrapped sum
+    var_it = np.where(cnt > 1, var_it, 0.0)
+    to16 = lambda v: (v.astype(np.int64) & 0xFFFF).astype(np.uint16)  # noqa: E731
+    return to16(np.floor(mean)), to16(np.floor(median)), to16(np.floor(var_it))
+
+
 def _finalize_stats_jax(best_count, s_best, sq_hi, sq_lo, med_lo, med_hi):
     """Device twin of _finalize_stats_np, exact in 32-bit limb arithmetic
     (TPU has no int64): mean floor, exact median, exact variance floor,
@@ -435,7 +537,8 @@ def _extract_windows_np(codes, fidxs, plens, sids, k: int):
             sids[so].astype(np.int32))
 
 
-def _select_np(hi, lo, func, off, plen, sid, threshold: float):
+def _select_np(hi, lo, func, off, plen, sid, threshold: float,
+               p2_stats: bool = False):
     """Host (numpy) twin of _select_compact_jax.
 
     Identical selection semantics — same (kmer, function, plen) sort,
@@ -443,6 +546,12 @@ def _select_np(hi, lo, func, off, plen, sid, threshold: float):
     the lowest function index (:228-248), and the same exact statistics
     finalization (_finalize_stats_np).  Used by the --host-only build and
     as a differential oracle for the device pass.
+
+    p2_stats=True switches mean/median/var to the reference's
+    boost-accumulator semantics (_p2_boost_stats_np) — the k-mer set,
+    function_index and avg_from_end columns are unchanged (avg_from_end
+    is an exact sorted median in the reference too,
+    signature_build.tcc:280-281).
 
     Returns (KeptKmerArrays, kept_entry_sids): the kept signatures sorted
     by packed k-mer, plus the unique sequence ids contributing to any
@@ -513,8 +622,11 @@ def _select_np(hi, lo, func, off, plen, sid, threshold: float):
     sumsq = csq[sbe + cnt] - csq[sbe]
     med_lo = p_s[sbe + (cnt - 1) // 2]
     med_hi = p_s[sbe + cnt // 2]
-    mean16, median16, var16 = _finalize_stats_np(
-        cnt, s_best, sumsq >> 16, sumsq & 0xFFFF, med_lo, med_hi)
+    if p2_stats:
+        mean16, median16, var16 = _p2_boost_stats_np(p_s, sbe, cnt)
+    else:
+        mean16, median16, var16 = _finalize_stats_np(
+            cnt, s_best, sumsq >> 16, sumsq & 0xFFFF, med_lo, med_hi)
 
     # avg_from_end = upper median of ALL offsets in the kmer group
     # (signature_build.tcc:281-282); lexsort is stable and the primary key
@@ -673,6 +785,8 @@ class SignatureBuilder:
 
         if not chunks:
             return empty()
+        if mesh is not None and self.config.p2_stats:
+            mesh = None  # p2 fidelity mode is host-only (see _select_from_seqs)
         if mesh is not None:
             cat = self._concat_chunks(chunks)
             if cat is None:
@@ -697,9 +811,11 @@ class SignatureBuilder:
         self.stats.distinct_functions = dict(zip(bf.tolist(), cnt.tolist()))
         # seqs_with_a_signature over kept entries (outs: hi1, lo1, s1,
         # kstart, keep, ... per _select_signatures_jax)
-        hi1 = np.asarray(outs[0])
-        s1 = np.asarray(outs[2])
-        keep_entry = np.asarray(outs[4]) & (hi1 != build_step.SENTINEL)
+        from ..parallel.distributed import fetch_global
+
+        hi1 = fetch_global(outs[0])
+        s1 = fetch_global(outs[2])
+        keep_entry = fetch_global(outs[4]) & (hi1 != build_step.SENTINEL)
         self.stats.seqs_with_a_signature = set(
             np.unique(s1[keep_entry]).tolist())
         return out
@@ -743,11 +859,14 @@ class SignatureBuilder:
             return KeptKmerArrays(e32, e32, e16, e16, e16, e16, e16)
         codes, sids, fidxs, plens = cat
 
-        if not self.use_device:
+        if not self.use_device or self.config.p2_stats:
+            # p2_stats: the P-square recurrence is sequential per group —
+            # a host-side fidelity mode, not a device path (FIDELITY.md)
             win = _extract_windows_np(codes, fidxs, plens, sids,
                                       self.config.k)
             out, kept_sids = _select_np(
-                *win, threshold=self.config.signature_threshold)
+                *win, threshold=self.config.signature_threshold,
+                p2_stats=self.config.p2_stats)
             return self._finalize_host(out, kept_sids)
 
         import jax
@@ -781,9 +900,10 @@ class SignatureBuilder:
         import jax
 
         thresh = self.config.signature_threshold
-        if not self.use_device:
+        if not self.use_device or self.config.p2_stats:
             out, kept_sids = _select_np(hi, lo, func, off, plen, sid,
-                                        threshold=thresh)
+                                        threshold=thresh,
+                                        p2_stats=self.config.p2_stats)
             return self._finalize_host(out, kept_sids)
 
         sel = jax.jit(_select_compact_jax, static_argnames=("threshold",))(

@@ -109,9 +109,17 @@ def build_step_sharded(mesh, hi, lo, func, off, plen, sid,
         in_specs=(P("dp"),) * 6,
         out_specs=(P("dp"),) * 14,
     )
-    return fn(jnp.asarray(hi, jnp.uint32), jnp.asarray(lo, jnp.uint32),
-              jnp.asarray(func, jnp.int32), jnp.asarray(off, jnp.int32),
-              jnp.asarray(plen, jnp.int32), jnp.asarray(sid, jnp.int32))
+    from . import distributed
+
+    def put(a, dt):
+        # host arrays get an explicit global placement (required on
+        # process-spanning meshes); tracers pass through untouched
+        if isinstance(a, np.ndarray):
+            return distributed.put_global(mesh, P("dp"), a.astype(dt))
+        return jnp.asarray(a, dt)
+
+    return fn(put(hi, np.uint32), put(lo, np.uint32), put(func, np.int32),
+              put(off, np.int32), put(plen, np.int32), put(sid, np.int32))
 
 
 def pack_corpus_sharded(codes, sids, fidxs, plens, ndp: int):
@@ -200,10 +208,17 @@ def build_step_from_seqs(mesh, codes, sids, fidxs, plens,
     ndp = mesh.shape["dp"]
     packed, starts, meta = pack_corpus_sharded(codes, sids, fidxs, plens,
                                                ndp)
+    from jax.sharding import PartitionSpec as P
+
+    from . import distributed
+
+    put = lambda a: distributed.put_global(  # noqa: E731
+        mesh, P("dp", *((None,) * (a.ndim - 1))), a)
     return build_step_from_seqs_arrays(
-        mesh, jnp.asarray(packed), jnp.asarray(starts),
-        jnp.asarray(meta[:, 0]), jnp.asarray(meta[:, 1]),
-        jnp.asarray(meta[:, 2]), threshold, bucket_cap)
+        mesh, put(packed), put(starts),
+        put(np.ascontiguousarray(meta[:, 0])),
+        put(np.ascontiguousarray(meta[:, 1])),
+        put(np.ascontiguousarray(meta[:, 2])), threshold, bucket_cap)
 
 
 def finalize_sharded(outputs):
@@ -211,9 +226,11 @@ def finalize_sharded(outputs):
 
     Mirrors SignatureBuilder._select's host step, additionally dropping
     SENTINEL padding groups."""
+    from .distributed import fetch_global
+
     (hi1, lo1, s1, kstart, keep, best_func, ktotal, best_count,
      s_best, sum_sq_hi, sum_sq_lo, med_lo, med_hi,
-     avg_from_end) = map(np.asarray, outputs)
+     avg_from_end) = map(fetch_global, outputs)
     reps = kstart & keep & (hi1 != SENTINEL)
     ridx = np.nonzero(reps)[0]
     mean_u16, median_u16, var_u16 = _finalize_stats_np(

@@ -63,3 +63,71 @@ def process_info():
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+
+
+def is_main() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def shard_inputs(items):
+    """This process's slice of a work list (round-robin by process id).
+
+    The multi-host replacement for the reference's "each job takes
+    disjoint files" sharding (ref: kmers-matrix-distance-folder.cc:108-116
+    + the skip-existing restart check): every process parses and computes
+    only its own inputs, so I/O scales with the number of processes.
+    Identity for single-process runs."""
+    import jax
+
+    n = jax.process_count()
+    if n <= 1:
+        return list(items)
+    return list(items)[jax.process_index()::n]
+
+
+def barrier(name: str = "skt_barrier") -> None:
+    """Block until every process reaches this point (no-op single-process)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def is_multiprocess_mesh(mesh) -> bool:
+    """Does this mesh span devices of more than one process?"""
+    import jax
+
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
+def put_global(mesh, spec, arr):
+    """Place a host array onto the mesh with an explicit NamedSharding.
+
+    Works for single-process meshes AND process-spanning meshes (each
+    process must pass the same logical array; jax.device_put fills the
+    locally addressable shards)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def fetch_global(x) -> "np.ndarray":
+    """Read a device array back to host on every process.
+
+    Fully-addressable arrays convert directly; process-spanning arrays go
+    through a tiled process_allgather so every process sees the full
+    logical value."""
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

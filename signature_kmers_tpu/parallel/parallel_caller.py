@@ -317,15 +317,26 @@ class ParallelFunctionCaller(FunctionCaller):
 
     def call_batch(self, batch: fasta_io.SequenceBatch,
                    keep_hits: bool = False):
+        """Sharded call over the mesh.  On a process-spanning mesh every
+        process passes the same batch (device_put fills the local shards)
+        and receives the full result list (tiled allgather) — exercised
+        by tests/test_multiprocess.py over real jax.distributed
+        processes."""
         if keep_hits:
             return super().call_batch(batch, keep_hits=True)
-        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from . import distributed
 
         rows = self.device_config.call_batch
         per_round = rows * self.ndp
         n = len(batch)
         results = []
         pending = []
+        # table placement once per batch (not per chunk round)
+        tab_in = [distributed.put_global(self.mesh, spec, a)
+                  for spec, a in zip(self.stable.in_specs(P),
+                                     self.stable.arrays())]
         for s in range(0, max(n, 1), per_round):
             e = min(s + per_round, n)
             subs = []
@@ -361,13 +372,17 @@ class ParallelFunctionCaller(FunctionCaller):
             k = self.config.k
             W = min(L, max(16, -(-(max(Lmax, k) - k + 1) // 16) * 16))
             fn = self._parallel_fn(L, R, W)
-            out = fn(*(jnp.asarray(a) for a in self.stable.arrays()),
-                     jnp.asarray(np.stack(flats)),
-                     jnp.asarray(np.stack([o[0] for o in offs])),
-                     jnp.asarray(np.stack([o[1] for o in offs])))
+            mesh = self.mesh
+            out = fn(*tab_in,
+                     distributed.put_global(mesh, P("dp", None, None),
+                                            np.stack(flats)),
+                     distributed.put_global(mesh, P("dp", None),
+                                            np.stack([o[0] for o in offs])),
+                     distributed.put_global(mesh, P("dp", None),
+                                            np.stack([o[1] for o in offs])))
             pending.append((subs, out))
         for subs, out in pending:
-            m = np.asarray(out)  # (dp, rows, PACKED_WORDS)
+            m = distributed.fetch_global(out)  # (dp, rows, PACKED_WORDS)
             for d, sub in enumerate(subs):
                 if len(sub):
                     results.extend(self._finalize_device(sub, m[d]))

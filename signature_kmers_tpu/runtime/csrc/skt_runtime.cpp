@@ -688,6 +688,232 @@ long skt_cpu_baseline_bdz(const unsigned char *codes, const int64_t *seq_off,
     return total_calls;
 }
 
+// Multi-thread variant of the authentic baseline: sequences partitioned
+// across threads, mirroring the reference's TBB parallel_for over parsed
+// sequences (ref: kmers-call-functions.cc:91,167-189 with --n-threads;
+// call_functions.tcc:184-208).  Per-sequence work is independent, so the
+// partition is embarrassment-parallel; results are summed.
+long skt_cpu_baseline_bdz_mt(const unsigned char *codes,
+                             const int64_t *seq_off, long n_seqs,
+                             const unsigned char *code_to_byte,
+                             uint32_t seed, uint32_t r,
+                             const unsigned char *g,
+                             const uint32_t *ranktable, int rank_b,
+                             const unsigned char *values, long m,
+                             int min_hits, int max_gap, int kmer_size,
+                             double mad_floor, double len_window,
+                             int n_threads) {
+    if (n_threads <= 1)
+        return skt_cpu_baseline_bdz(codes, seq_off, n_seqs, code_to_byte,
+                                    seed, r, g, ranktable, rank_b, values, m,
+                                    min_hits, max_gap, kmer_size, mad_floor,
+                                    len_window);
+    if (n_threads > 64) n_threads = 64;
+    std::vector<long> res((size_t)n_threads, 0);
+    std::vector<std::thread> ths;
+    long per = (n_seqs + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        long s0 = (long)t * per;
+        long s1 = s0 + per < n_seqs ? s0 + per : n_seqs;
+        if (s0 >= s1) break;
+        ths.emplace_back([=, &res]() {
+            res[t] = skt_cpu_baseline_bdz(
+                codes, seq_off + s0, s1 - s0, code_to_byte, seed, r, g,
+                ranktable, rank_b, values, m, min_hits, max_gap, kmer_size,
+                mad_floor, len_window);
+        });
+    }
+    for (auto &th : ths) th.join();
+    long total = 0;
+    for (long v : res) total += v;
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+// Native BDZ minimal-perfect-hash construction (one seed attempt)
+// ---------------------------------------------------------------------------
+//
+// The reference builds its production store with libcmph's BDZ algorithm
+// (ref: perfect_hash.h:11-69, libcmph bdz.c): keys become edges of a
+// 3-partite hypergraph, the graph is peeled, and a packed 2-bit g-array +
+// ranktable are emitted.  interop/cmph.py specifies the exact round-based
+// peel/assign this framework uses (all degree-1-incident edges removed per
+// round; free vertex = FIRST degree-1 position; reverse-round assignment);
+// this is the same algorithm with the numpy inner loops as native code —
+// output bytes are IDENTICAL to the numpy path for any (keys, seed, r).
+// ~20x faster at 20M keys (the numpy path leans on unbuffered ufunc.at).
+//
+// keys: m contiguous 8-byte keys.  g_packed: caller-allocated ceil(3r/4)
+// bytes.  ranktable: caller-allocated ceil(3r/(1<<rank_b)) uint32.
+// Returns 0 on success, -1 when the graph is not peelable with this seed
+// (caller retries with the next seed, as bdz_new does).
+int skt_bdz_build_try(const unsigned char *keys, long m, uint32_t seed,
+                      uint32_t r, int rank_b, unsigned char *g_packed,
+                      uint32_t *ranktable) {
+    const uint64_t n = 3ull * r;
+    std::vector<uint32_t> v0(m), v1(m), v2(m);
+    std::vector<uint32_t> deg(n, 0), xs(n, 0);
+    for (long i = 0; i < m; i++) {
+        const unsigned char *kb = keys + i * 8;
+        uint32_t w0 = (uint32_t)kb[0] | ((uint32_t)kb[1] << 8)
+                    | ((uint32_t)kb[2] << 16) | ((uint32_t)kb[3] << 24);
+        uint32_t w1 = (uint32_t)kb[4] | ((uint32_t)kb[5] << 8)
+                    | ((uint32_t)kb[6] << 16) | ((uint32_t)kb[7] << 24);
+        uint32_t a = w0 + 0x9E3779B9u, b = w1 + 0x9E3779B9u, c = seed + 8u;
+        jenkins_mix(a, b, c);
+        v0[i] = a % r;
+        v1[i] = b % r + r;
+        v2[i] = c % r + 2u * r;
+        deg[v0[i]]++; deg[v1[i]]++; deg[v2[i]]++;
+        xs[v0[i]] ^= (uint32_t)i; xs[v1[i]] ^= (uint32_t)i;
+        xs[v2[i]] ^= (uint32_t)i;
+    }
+
+    // round-based peel: per round, all vertices of degree 1 free the
+    // edges they are incident to; the edge's recorded free position is
+    // the FIRST degree-1 position (interop/cmph.py _peel)
+    std::vector<uint32_t> order;      // peeled edge ids, round-major
+    std::vector<uint8_t> freej;       // free position per peeled edge
+    std::vector<long> round_off{0};   // round boundaries into order
+    order.reserve(m); freej.reserve(m);
+    std::vector<uint32_t> cand;       // deg-1 candidates for this round
+    cand.reserve(1 << 16);
+    for (uint64_t v = 0; v < n; v++)
+        if (deg[v] == 1) cand.push_back((uint32_t)v);
+    long alive = m;
+    std::vector<uint32_t> eids, next_cand;
+    while (alive > 0) {
+        // d1 = candidates still at degree 1 now (vertex order);
+        // eids = sorted unique incident edge ids
+        eids.clear();
+        for (uint32_t v : cand)
+            if (deg[v] == 1) eids.push_back(xs[v]);
+        if (eids.empty()) return -1;  // non-empty 2-core
+        std::sort(eids.begin(), eids.end());
+        eids.erase(std::unique(eids.begin(), eids.end()), eids.end());
+        next_cand.clear();
+        for (uint32_t e : eids) {
+            uint32_t vv[3] = {v0[e], v1[e], v2[e]};
+            int j = 0;
+            for (; j < 3; j++)
+                if (deg[vv[j]] == 1) break;
+            order.push_back(e);
+            freej.push_back((uint8_t)j);
+        }
+        // remove this round's edges after all js are decided (degrees
+        // above describe round START, exactly like the vectorized spec)
+        for (uint32_t e : eids) {
+            uint32_t vv[3] = {v0[e], v1[e], v2[e]};
+            for (int p = 0; p < 3; p++) {
+                uint32_t u = vv[p];
+                deg[u]--; xs[u] ^= e;
+                if (deg[u] == 1) next_cand.push_back(u);
+            }
+        }
+        alive -= (long)eids.size();
+        round_off.push_back((long)order.size());
+        std::swap(cand, next_cand);
+        std::sort(cand.begin(), cand.end());
+        cand.erase(std::unique(cand.begin(), cand.end()), cand.end());
+    }
+
+    // reverse-round assignment (interop/cmph.py _assign): within a round
+    // edges are independent (a free vertex has degree 1 at round start,
+    // so it appears in no other edge of the round)
+    std::vector<uint8_t> gv(n, 3);  // UNASSIGNED
+    for (long ri = (long)round_off.size() - 2; ri >= 0; ri--) {
+        for (long q = round_off[ri]; q < round_off[ri + 1]; q++) {
+            uint32_t e = order[q];
+            uint32_t vv[3] = {v0[e], v1[e], v2[e]};
+            int j = freej[q];
+            int others = 0;
+            for (int p = 0; p < 3; p++)
+                if (p != j) others += gv[vv[p]];
+            gv[vv[j]] = (uint8_t)(((j - others) % 3 + 3) % 3);
+        }
+    }
+
+    // pack 2-bit g (little-endian within byte) + ranktable
+    const uint64_t sizeg = (n + 3) / 4;
+    memset(g_packed, 0, sizeg);
+    for (uint64_t v = 0; v < n; v++)
+        g_packed[v >> 2] |= (unsigned char)(gv[v] << ((v & 3) << 1));
+    for (uint64_t v = n; v < sizeg * 4; v++)  // pad fields = UNASSIGNED
+        g_packed[v >> 2] |= (unsigned char)(3u << ((v & 3) << 1));
+    const uint64_t k = 1ull << rank_b;
+    const uint64_t rts = (n + k - 1) / k;
+    uint32_t acc = 0;
+    for (uint64_t bidx = 0; bidx < rts; bidx++) {
+        ranktable[bidx] = acc;
+        uint64_t hi = std::min(n, (bidx + 1) * k);
+        for (uint64_t v = bidx * k; v < hi; v++)
+            if (gv[v] != 3) acc++;
+    }
+    return 0;
+}
+
+// Native bdz_search over n 8-byte keys (bdz.c bdz_search + rank):
+// jenkins 3-lane hash, 3 g reads, representative select, ranktable entry
+// + byte scan.  out_idx[i] in [0, m) for member keys; alien keys alias
+// (the reference's own semantics, cmph_kmer.h:138-147).  Parallelized
+// over keys (read-only tables).
+void skt_bdz_search(const unsigned char *keys, long n, uint32_t seed,
+                    uint32_t r, const unsigned char *g,
+                    const uint32_t *ranktable, int rank_b,
+                    uint32_t *out_idx) {
+    static uint8_t assigned_in_byte[256];
+    static bool tab_init = false;
+    if (!tab_init) {
+        for (int v = 0; v < 256; v++) {
+            int cnt = 0;
+            for (int f = 0; f < 4; f++)
+                if (((v >> (2 * f)) & 3) != 3) cnt++;
+            assigned_in_byte[v] = (uint8_t)cnt;
+        }
+        tab_init = true;
+    }
+    int nt = skt_threads();
+    long per = (n + nt - 1) / nt;
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++) {
+        long i0 = (long)t * per, i1 = i0 + per < n ? i0 + per : n;
+        if (i0 >= i1) break;
+        ths.emplace_back([=]() {
+            for (long i = i0; i < i1; i++) {
+                const unsigned char *kb = keys + i * 8;
+                uint32_t w0 = (uint32_t)kb[0] | ((uint32_t)kb[1] << 8)
+                            | ((uint32_t)kb[2] << 16) | ((uint32_t)kb[3] << 24);
+                uint32_t w1 = (uint32_t)kb[4] | ((uint32_t)kb[5] << 8)
+                            | ((uint32_t)kb[6] << 16) | ((uint32_t)kb[7] << 24);
+                uint32_t a = w0 + 0x9E3779B9u, b = w1 + 0x9E3779B9u;
+                uint32_t c = seed + 8u;
+                jenkins_mix(a, b, c);
+                uint64_t hl[3] = {(uint64_t)(a % r),
+                                  (uint64_t)(b % r) + r,
+                                  (uint64_t)(c % r) + 2ull * r};
+                unsigned g0 = (g[hl[0] >> 2] >> (((unsigned)hl[0] & 3) << 1)) & 3;
+                unsigned g1 = (g[hl[1] >> 2] >> (((unsigned)hl[1] & 3) << 1)) & 3;
+                unsigned g2 = (g[hl[2] >> 2] >> (((unsigned)hl[2] & 3) << 1)) & 3;
+                uint64_t vertex = hl[(g0 + g1 + g2) % 3];
+                uint64_t bidx = vertex >> rank_b;
+                uint32_t rank = ranktable[bidx];
+                uint64_t beg_v = bidx << rank_b;
+                uint64_t beg_b = beg_v >> 2, end_b = vertex >> 2;
+                while (beg_b < end_b) rank += assigned_in_byte[g[beg_b++]];
+                beg_v = beg_b << 2;
+                while (beg_v < vertex) {
+                    if (((g[beg_v >> 2] >> (((unsigned)beg_v & 3) << 1)) & 3)
+                        != 3)
+                        rank++;
+                    beg_v++;
+                }
+                out_idx[i] = rank;
+            }
+        });
+    }
+    for (auto &th : ths) th.join();
+}
+
 // For cross-checking the Python jenkins implementation (interop/hashes.py)
 // against this independently written one: hashes 8-byte keys, writes a/b/c.
 void skt_jenkins3_k8(const unsigned char *keys, long n, uint32_t seed,

@@ -111,6 +111,21 @@ def _load():
             ctypes.c_void_p, ctypes.c_long, ctypes.c_uint32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.skt_cpu_baseline_bdz_mt.restype = ctypes.c_long
+        lib.skt_cpu_baseline_bdz_mt.argtypes = (
+            lib.skt_cpu_baseline_bdz.argtypes + [ctypes.c_int])
+        lib.skt_bdz_build_try.restype = ctypes.c_int
+        lib.skt_bdz_build_try.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.skt_bdz_search.restype = None
+        lib.skt_bdz_search.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
         lib.skt_pack_u6_rows.restype = None
         lib.skt_pack_u6_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -194,12 +209,14 @@ def cpu_baseline_call(codes, seq_off, table, min_hits: int, max_gap: int,
 
 def cpu_baseline_call_bdz(codes, seq_off, mph, values, min_hits: int,
                           max_gap: int, k: int, mad_floor: float,
-                          len_window: float) -> int:
+                          len_window: float, n_threads: int = 1) -> int:
     """Single-thread CPU pass with the reference's AUTHENTIC read path:
     CMPH BDZ search (jenkins + 3 g-array reads + rank byte scan) + one
     unverified 10-byte record read per window (cmph_kmer.h:139-147),
     feeding the same sequential automaton.  `mph` is an interop BdzMph;
-    `values` the (m,) STORED_KMER_DTYPE record array.  Returns calls."""
+    `values` the (m,) STORED_KMER_DTYPE record array.  Returns calls.
+    n_threads > 1 partitions sequences across threads like the
+    reference's --n-threads TBB loop (kmers-call-functions.cc:91)."""
     from ..core import alphabet
 
     lib = _load()
@@ -211,11 +228,13 @@ def cpu_baseline_call_bdz(codes, seq_off, mph, values, min_hits: int,
     vals = np.ascontiguousarray(values)
     if vals.dtype.itemsize != 10:
         raise ValueError("values must be 10-byte StoredKmerData records")
-    return lib.skt_cpu_baseline_bdz(
-        _ptr(codes), _ptr(seq_off), seq_off.shape[0] - 1, _ptr(c2b),
-        np.uint32(mph.seed), np.uint32(mph.r), _ptr(g), _ptr(rt),
-        int(mph.b), _ptr(vals), int(mph.m),
-        min_hits, max_gap, k, mad_floor, len_window)
+    args = (_ptr(codes), _ptr(seq_off), seq_off.shape[0] - 1, _ptr(c2b),
+            np.uint32(mph.seed), np.uint32(mph.r), _ptr(g), _ptr(rt),
+            int(mph.b), _ptr(vals), int(mph.m),
+            min_hits, max_gap, k, mad_floor, len_window)
+    if n_threads > 1:
+        return lib.skt_cpu_baseline_bdz_mt(*args, int(n_threads))
+    return lib.skt_cpu_baseline_bdz(*args)
 
 
 def jenkins3_k8(keys, seed: int):
@@ -231,6 +250,41 @@ def jenkins3_k8(keys, seed: int):
     lib.skt_jenkins3_k8(_ptr(keys), n, np.uint32(seed),
                         _ptr(a), _ptr(b), _ptr(c))
     return a, b, c
+
+
+def bdz_build_try(keys, seed: int, r: int, b: int):
+    """Native BDZ peel + assign for one (seed, r) attempt.
+
+    Byte-identical to the numpy spec in interop/cmph.py (same round-based
+    peel, same reverse-round assignment).  Returns (g_packed, ranktable)
+    or None when the graph is not peelable with this seed."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint8)
+    m = keys.shape[0]
+    n = 3 * r
+    g = np.empty(-(-n // 4), np.uint8)
+    rts = -(-n // (1 << b))
+    ranktable = np.empty(rts, np.uint32)
+    rc = lib.skt_bdz_build_try(_ptr(keys), m, np.uint32(seed),
+                               np.uint32(r), int(b), _ptr(g), _ptr(ranktable))
+    if rc != 0:
+        return None
+    return g, ranktable
+
+
+def bdz_search(keys, seed: int, r: int, g, ranktable, b: int):
+    """Native bdz_search (bdz.c semantics) over (N, 8) uint8 keys.
+
+    Byte-identical to interop/cmph.py's vectorized bdz_search."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint8)
+    g = np.ascontiguousarray(g, dtype=np.uint8)
+    ranktable = np.ascontiguousarray(ranktable, dtype=np.uint32)
+    out = np.empty(keys.shape[0], np.uint32)
+    lib.skt_bdz_search(_ptr(keys), keys.shape[0], np.uint32(seed),
+                       np.uint32(r), _ptr(g), _ptr(ranktable), int(b),
+                       _ptr(out))
+    return out
 
 
 def build_cuckoo(hi, lo, v0, v1, v2, n_buckets: int, salt: int,

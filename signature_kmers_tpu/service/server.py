@@ -126,9 +126,16 @@ class _QueryBatcher:
 
 
 class AnnotationService:
-    def __init__(self, data_dir, config: Config = Config()):
+    def __init__(self, data_dir, config: Config = Config(), mesh=None):
+        """mesh: optional jax.sharding.Mesh — the service dispatches onto
+        a dp x tp device mesh (queries dp-sharded, the signature table
+        tp-sharded across chips via ParallelFunctionCaller) instead of a
+        single device.  /add rebuilds the sharded arrays off-thread under
+        the writer lock and swaps the snapshot atomically, so the
+        copy-on-write read path is unchanged."""
         self.config = config
         self.data_dir = data_dir
+        self.mesh = mesh
         table, self.function_index = pipeline.load_data_dir(
             data_dir, config)
         self.engines = self._make_engines(table)
@@ -142,10 +149,17 @@ class AnnotationService:
         self.mappings: dict[str, object] = {}
 
     def _make_engines(self, table) -> _Engines:
+        if self.mesh is not None:
+            from ..parallel.parallel_caller import ParallelFunctionCaller
+
+            caller = ParallelFunctionCaller(
+                table, self.function_index, self.config.call,
+                self.config.device, mesh=self.mesh)
+        else:
+            caller = FunctionCaller(table, self.function_index,
+                                    self.config.call, self.config.device)
         return _Engines(
-            table,
-            FunctionCaller(table, self.function_index,
-                           self.config.call, self.config.device),
+            table, caller,
             MatrixDistance(table, self.function_index,
                            self.config.distance, self.config.device))
 
@@ -442,7 +456,8 @@ class AnnotationService:
     def matrix_text(self, body: bytes) -> str:
         batch = fasta_io.SequenceBatch.from_records(
             fasta_io.iter_fasta(body))
-        res = self.distance.compute([batch])
+        res = self.distance.compute([batch], mesh=self.mesh) \
+            if self.mesh is not None else self.distance.compute([batch])
         out = io.StringIO()
         for s1, s2, count, score in res.rows(with_score=True):
             out.write(f"{s1}\t{s2}\t{count}\t{formats.cxx_num(score)}\n")
@@ -537,8 +552,9 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
 
 
 async def serve_async(data_dir, host="127.0.0.1", port=6100,
-                      config: Config = Config(), ready_event=None):
-    service = AnnotationService(data_dir, config)
+                      config: Config = Config(), ready_event=None,
+                      mesh=None):
+    service = AnnotationService(data_dir, config, mesh=mesh)
     stop_event = asyncio.Event()
     server = await asyncio.start_server(
         lambda r, w: _handle(service, stop_event, r, w), host, port)
@@ -548,5 +564,6 @@ async def serve_async(data_dir, host="127.0.0.1", port=6100,
         await stop_event.wait()
 
 
-def serve(data_dir, host="127.0.0.1", port=6100, config: Config = Config()):
-    asyncio.run(serve_async(data_dir, host, port, config))
+def serve(data_dir, host="127.0.0.1", port=6100, config: Config = Config(),
+          mesh=None):
+    asyncio.run(serve_async(data_dir, host, port, config, mesh=mesh))

@@ -235,6 +235,38 @@ class TestService:
         t.join(timeout=10)
         assert not t.is_alive()
 
+    def test_mesh_service_matches_single_device(self, corpus, data_dir):
+        """serve --mesh: the sharded-table service (queries dp-sharded,
+        table tp-sharded over the virtual 8-device mesh —
+        ParallelFunctionCaller inside _make_engines) must answer /query,
+        /add and /matrix byte-identically to the single-device service,
+        including the copy-on-write /add rebuild of the sharded arrays
+        (BASELINE service config #5)."""
+        from signature_kmers_tpu.parallel.mesh import make_mesh
+        from signature_kmers_tpu.service.server import AnnotationService
+
+        single = AnnotationService(str(data_dir))
+        mesh = AnnotationService(str(data_dir), mesh=make_mesh(tp=2))
+        from signature_kmers_tpu.parallel.parallel_caller import (
+            ParallelFunctionCaller)
+
+        assert isinstance(mesh.caller, ParallelFunctionCaller)
+
+        fa = (corpus / "Queries" / "queries.fa").read_bytes()
+        assert mesh.query_text(fa) == single.query_text(fa)
+        assert mesh.matrix_text(fa) == single.matrix_text(fa)
+
+        # /add: swaps in a NEW sharded snapshot; lookups must then hit
+        # the added kmer identically on both services
+        add = b"ACDEFGHI\t17\t3\t120\t120\t9\n"
+        r1 = single.add_text(add)
+        r2 = mesh.add_text(add)
+        assert r1 == r2 == "added 1\n"
+        assert isinstance(mesh.caller, ParallelFunctionCaller)
+        q = b">addq\nACDEFGHIACDEFGHIACDEFGHI\n"
+        assert mesh.lookup_text(q) == single.lookup_text(q)
+        assert mesh.query_text(fa) == single.query_text(fa)
+
 
 class TestBuildCheckpoint:
     def test_resumable_extraction(self, corpus, tmp_path):

@@ -7,6 +7,7 @@ import pytest
 from signature_kmers_tpu.interop import cmph as cmph_io
 from signature_kmers_tpu.interop import nudb as nudb_io
 from signature_kmers_tpu.interop.hashes import xxh64_bytes8
+from signature_kmers_tpu.runtime import host
 
 LETTERS = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
 
@@ -126,6 +127,67 @@ class TestBdz:
         np.testing.assert_array_equal(m2.ranktable, mph.ranktable)
         np.testing.assert_array_equal(cmph_io.bdz_search(m2, keys),
                                       cmph_io.bdz_search(mph, keys))
+
+    @pytest.mark.parametrize("m", [1, 3, 500, 40000])
+    def test_native_build_matches_numpy(self, m):
+        """skt_bdz_build_try must be byte-identical to the numpy
+        round-based peel/assign spec for the same (keys, seed, r)."""
+        if not host.available():
+            pytest.skip("native runtime unavailable")
+        keys = _rand_keys(np.random.default_rng(100 + m), m)
+        a = cmph_io.build_bdz(keys, native=False)
+        b = cmph_io.build_bdz(keys, native=True)
+        assert (a.seed, a.n, a.m, a.r) == (b.seed, b.n, b.m, b.r)
+        np.testing.assert_array_equal(a.g, b.g)
+        np.testing.assert_array_equal(a.ranktable, b.ranktable)
+
+    def test_native_search_matches_numpy(self):
+        """skt_bdz_search must match the numpy bdz_search on member AND
+        alien keys (same aliasing semantics)."""
+        if not host.available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(77)
+        keys = _rand_keys(rng, 30000)
+        mph = cmph_io.build_bdz(keys)
+        alien = _rand_keys(np.random.default_rng(78), 2000)
+        for kk in (keys, alien):
+            np.testing.assert_array_equal(
+                cmph_io.bdz_search(mph, kk, native=True),
+                cmph_io.bdz_search(mph, kk, native=False))
+
+    def test_mt_baseline_matches_single_thread(self):
+        """The multi-thread authentic baseline partitions sequences only;
+        total calls must equal the single-thread result."""
+        if not host.available():
+            pytest.skip("native runtime unavailable")
+        from signature_kmers_tpu.core import alphabet
+        from signature_kmers_tpu.core.config import Config
+
+        rng = np.random.default_rng(9)
+        aa = alphabet.encode_seq(alphabet.AA20)
+        n_k, L, n_q = 40000, 120, 128
+        corpus = aa[rng.integers(0, 20, n_k + 7)].astype(np.uint8)
+        hi, lo = alphabet.pack_codes_np(corpus)
+        pk = np.unique((hi.astype(np.uint64) << 24) | lo)
+        hi = (pk >> 24).astype(np.uint32)
+        lo = (pk & 0xFFFFFF).astype(np.uint32)
+        keys = cmph_io.keys_from_packed(hi, lo)
+        mph = cmph_io.build_bdz(keys)
+        kidx = cmph_io.bdz_search(mph, keys)
+        vals = np.zeros(mph.m, dtype=cmph_io.STORED_KMER_DTYPE)
+        vals["function_index"][kidx] = (hi % 31).astype(np.uint16)
+        vals["mean"][kidx] = np.uint16(L)
+        starts = rng.integers(0, n_k - L, n_q)
+        codes = np.concatenate([corpus[s:s + L] for s in starts])
+        offsets = (np.arange(n_q + 1) * L).astype(np.int64)
+        cfg = Config().call
+        args = (cfg.min_hits, cfg.max_gap, cfg.k, cfg.mad_floor,
+                cfg.len_mad_window)
+        st = host.cpu_baseline_call_bdz(codes, offsets, mph, vals, *args)
+        for nt in (2, 5, 8):
+            assert host.cpu_baseline_call_bdz(
+                codes, offsets, mph, vals, *args, n_threads=nt) == st
+        assert st > 0
 
     def test_rank_matches_ranktable(self):
         """The stored rank table must agree with the exact rank array
