@@ -104,6 +104,113 @@ def child(n: int):
         kept = run_build()
     build_s = (time.perf_counter() - t0) / reps
 
+    # ---- call-step per-phase decomposition ------------------------------
+    # Cumulative truncations of the EXACT mesh call program
+    # (parallel_caller.ParallelFunctionCaller._parallel_fn body), so the
+    # weak-scaling degradation decomposes into per-phase costs.  The only
+    # collective in the call step is the tp psum of the probe outputs —
+    # its cost is the stage "psum" marginal; everything else degrading
+    # with n is core contention on the shared-host virtual mesh.
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from signature_kmers_tpu.ops import automaton as automaton_ops
+    from signature_kmers_tpu.ops import kmer_pack
+
+    stable = pc.stable
+    cfg = CallConfig()
+    rows = SEQS_PER_DEV
+    L = -(-SEQ_LEN // 128) * 128
+    W = min(L, max(16, -(-(SEQ_LEN - cfg.k + 1) // 16) * 16))
+    n_tab = len(stable.arrays())
+    STAGES = ["expand", "pack", "probe", "psum", "automaton",
+              "pack_records"]
+
+    def make_fn(stage: int):
+        def shard_fn(*args):
+            tabs = args[:n_tab]
+            rows_l, start_l, lens_l = args[n_tab:]
+            lengths = lens_l[0]
+            codes = kmer_pack.expand_rows16(rows_l[0], start_l[0],
+                                            lengths, L)
+            if stage == 0:
+                s = (codes & 1).sum(dtype=jnp.int32)
+                return jax.lax.psum(s, "tp")[None]
+            whi, wlo, call_valid = kmer_pack.pack_call_windows(
+                codes, lengths)
+            if W < L:
+                whi, wlo = whi[:, :W], wlo[:, :W]
+                call_valid = call_valid[:, :W]
+            if stage == 1:
+                s = ((whi & 1).sum() + (wlo & 1).sum()).astype(jnp.int32)
+                return jax.lax.psum(s, "tp")[None]
+            found, fm = stable.probe(tabs, whi, wlo)
+            if stage == 2:
+                s = (found.sum() + (fm & 1).sum()).astype(jnp.int32)
+                return jax.lax.psum(s, "tp")[None]
+            found_i = jax.lax.psum(found.astype(jnp.uint32), "tp")
+            fm = jax.lax.psum(jnp.where(found, fm, 0), "tp")
+            found = (found_i > 0) & call_valid
+            func = (fm >> 16).astype(jnp.int32)
+            mean = (fm & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            if stage == 3:
+                return (found.sum() + (func & 1).sum()
+                        + (mean & 1).sum()).astype(jnp.int32)[None]
+            out = automaton_ops.device_automaton(
+                found, func, mean, lengths, cfg.min_hits, cfg.max_gap,
+                cfg.k, mad_floor=cfg.mad_floor,
+                len_window=cfg.len_mad_window)
+            if stage == 4:
+                return sum(jnp.count_nonzero(o).astype(jnp.int32)
+                           for o in jax.tree_util.tree_leaves(out))[None]
+            packed_out = automaton_ops.pack_records(out, lengths)
+            return (packed_out & 1).sum().astype(jnp.int32)[None]
+
+        return jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(*stable.in_specs(P), P("dp", None, None),
+                      P("dp", None), P("dp", None)),
+            out_specs=P("dp")))
+
+    flat_q = batch.codes
+    offs_q = batch.offsets
+    flats, startss, lenss = [], [], []
+    R = 0
+    packs = []
+    for d in range(ndp):
+        ds, de = d * rows, (d + 1) * rows
+        sub_codes = flat_q[offs_q[ds]:offs_q[de]]
+        sub_off = offs_q[ds:de + 1] - offs_q[ds]
+        p, s_arr, l_arr = kmer_pack.pack_u6_rows_host(sub_codes, sub_off,
+                                                      rows, L)
+        packs.append((p, s_arr, l_arr))
+        R = max(R, p.shape[0])
+    for p, s_arr, l_arr in packs:
+        pad = np.zeros((R - p.shape[0], 3), dtype=np.uint32)
+        flats.append(np.concatenate([p, pad]) if pad.shape[0] else p)
+        startss.append(s_arr)
+        lenss.append(l_arr)
+    put = lambda spec, a: jax.device_put(  # noqa: E731
+        a, NamedSharding(mesh, spec))
+    tab_in = [put(spec, a) for spec, a in zip(stable.in_specs(P),
+                                              stable.arrays())]
+    data_in = (put(P("dp", None, None), np.stack(flats)),
+               put(P("dp", None), np.stack(startss)),
+               put(P("dp", None), np.stack(lenss)))
+    cum = []
+    for st in range(len(STAGES)):
+        fn = make_fn(st)
+        np.asarray(fn(*tab_in, *data_in))  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(fn(*tab_in, *data_in))
+        cum.append((time.perf_counter() - t0) / reps)
+    phases = {STAGES[0]: round(cum[0], 4)}
+    for i in range(1, len(STAGES)):
+        phases[STAGES[i]] = round(max(cum[i] - cum[i - 1], 0.0), 4)
+    phases["full_s"] = round(cum[-1], 4)
+
     print(json.dumps({
         "devices": n, "dp": ndp, "tp": ntp,
         "call_s": round(call_s, 4),
@@ -111,6 +218,7 @@ def child(n: int):
         "build_s": round(build_s, 4),
         "build_windows_per_s": round(nres / build_s, 1),
         "kept": int(kept["hi"].shape[0]),
+        "call_phases": phases,
     }))
 
 
@@ -139,6 +247,13 @@ def parent():
             print(f"  n={r['devices']} (dp={r['dp']} tp={r['tp']}): "
                   f"call {t1c / r['call_s'] * 100:5.1f}%   "
                   f"build {t1b / r['build_s'] * 100:5.1f}%")
+        names = list(rows[0]["call_phases"].keys())
+        print("\ncall-step phase decomposition (s; marginal per stage):")
+        print("  n    " + "".join(f"{p:>13s}" for p in names))
+        for r in rows:
+            ph = r["call_phases"]
+            print(f"  {r['devices']:<4d}"
+                  + "".join(f"{ph[p]:13.4f}" for p in names))
 
 
 if __name__ == "__main__":

@@ -121,6 +121,13 @@ def _add_call(sub):
     p.add_argument("-j", "--n-threads", type=int, default=1)
     p.add_argument("--ignore-hypo", action="store_true")
     p.add_argument("--debug-hits", action="store_true")
+    p.add_argument("--debug-scoring", action="store_true",
+                   help="per-sequence scoring-stage dumps to stderr "
+                        "(initial/collapsed/merged calls, fusion "
+                        "expression, totals, margin offset) — the "
+                        "reference's compile-time DEBUG_SCORING "
+                        "(call_functions.tcc:2-4,359-613) as a runtime "
+                        "flag")
     p.add_argument("--mesh", action="store_true",
                    help="shard work over all local devices (dp x tp mesh)")
     p.add_argument("--tp", type=int, default=None,
@@ -181,11 +188,22 @@ def cmd_call(args):
     else:
         out = sys.stdout
     try:
+        debug_scoring = getattr(args, "debug_scoring", False)
+        if debug_scoring:
+            from ..golden.call import find_best_call as golden_best_call
         for path in my_files:
             batch = fasta_io.read_fasta_batch(path)
             results = caller.call_batch(batch, keep_hits=args.debug_hits) \
                 if args.debug_hits else caller.call_batch(batch)
             for i, res in enumerate(results):
+                if debug_scoring:
+                    # re-drive the scoring stages with the dump stream
+                    # (the production best call ran natively; the golden
+                    # spec is decision-identical — tests/test_fuzz.py)
+                    print(f"=== scoring {res.seq_id} ===", file=sys.stderr)
+                    golden_best_call(list(res.calls),
+                                     caller.function_at_index,
+                                     caller.config, debug=sys.stderr)
                 if args.debug_hits and res.hits:
                     from ..core import alphabet
                     import math
@@ -326,6 +344,9 @@ def _add_matrix_folder(sub):
     p.add_argument("output_dir")
     p.add_argument("-j", "--n-threads", type=int, default=1)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="psum-combine pair-count blocks over all local "
+                        "devices per file")
     p.set_defaults(func=cmd_matrix_folder)
 
 
@@ -339,6 +360,11 @@ def cmd_matrix_folder(args):
     in_dir = Path(args.input_dir)
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    mesh = None
+    if getattr(args, "mesh", False):
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     # multi-host: disjoint file slices per process (the reference's
     # multi-job sharding made explicit); the per-output existence skip
     # below additionally keeps ANY set of concurrent/restarted jobs safe
@@ -351,7 +377,8 @@ def cmd_matrix_folder(args):
         if f.stat().st_size == 0:
             continue
         batch = fasta_io.read_fasta_batch(f)
-        res = md.compute([batch])
+        res = md.compute([batch], mesh=mesh) if mesh is not None \
+            else md.compute([batch])
         formats.write_distance(out, res.rows(with_score=True), with_score=True)
     return 0
 

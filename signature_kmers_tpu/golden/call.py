@@ -203,12 +203,31 @@ def _ref_top2_order(vec: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return v
 
 
+def _fmt_call(c: KmerCall) -> str:
+    """operator<<(KmerCall) format (ref: call_functions.h:50-57)."""
+    from ..io.formats import cxx_num
+
+    return (f"KmerCall({c.start}-{c.end}: {c.count}, {c.function_index}, "
+            f"{c.protein_length_median}, "
+            f"{cxx_num(c.protein_length_med_avg_dev)})")
+
+
 def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str],
-                   config: CallConfig) -> BestCall:
+                   config: CallConfig, debug=None) -> BestCall:
     """Collapse -> bridge-merge -> fusion -> margin scoring
-    (ref: call_functions.tcc:347-659)."""
+    (ref: call_functions.tcc:347-659).
+
+    ``debug``: optional text stream receiving the reference's
+    DEBUG_SCORING stage dumps (initial calls / after collapse / after
+    merge / fusion expression / per-function totals / margin offset —
+    call_functions.tcc:359-365,390-396,436-442,521-526,599-613), which
+    the reference only exposes as a compile-time flag."""
     if not calls:
         return BestCall(UNDEFINED_FUNCTION, "", 0.0, 0.0)
+    if debug is not None:
+        debug.write("Initial calls:\n")
+        for c in calls:
+            debug.write(_fmt_call(c) + "\n")
 
     # 1. collapse adjacent same-function calls (tcc:368-389)
     collapsed: list[KmerCall] = []
@@ -218,6 +237,10 @@ def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str
             collapsed[-1].count += c.count
         else:
             collapsed.append(dataclasses.replace(c))
+    if debug is not None:
+        debug.write("after collapse:\n")
+        for c in collapsed:
+            debug.write(_fmt_call(c) + "\n")
 
     # 2. bridge F1-x-F1 merges (tcc:398-434)
     merged: list[KmerCall] = []
@@ -233,6 +256,10 @@ def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str
             cur.end = collapsed[i + 1].end
             cur.count += collapsed[i + 1].count
             i += 2
+    if debug is not None:
+        debug.write("after merge:\n")
+        for c in merged:
+            debug.write(_fmt_call(c) + "\n")
 
     # 3. fusion detection (tcc:456-565)
     if len(merged) > 1:
@@ -265,6 +292,10 @@ def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str
             part_stats.setdefault(fkey, []).append(float(c.protein_length_median))
             key_info[fkey] = (c.function_index, func)
 
+        if debug is not None:
+            debug.write(f"Exp list: {exp}\n")
+            for fkey, (fi, fn) in key_info.items():
+                debug.write(f"{fkey}: {fi} {fn}\n")
         if _FUSION_RE.match(exp):
             def f32_mean(xs):
                 # the reference accumulates part stats in float32
@@ -290,11 +321,18 @@ def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str
     # std::map iteration order (ascending fI), then the reference's exact
     # partial_sort placement — vec[2] is read by the pair fallback below
     vec = _ref_top2_order(sorted(by_func.items()))
+    if debug is not None:
+        for fi, cnt in vec:
+            debug.write(f"{fi} {cnt} {function_at_index(fi)}\n")
 
     if len(vec) == 1:
         score_offset = float(vec[0][1])
     else:
         score_offset = float(vec[0][1] - vec[1][1])
+    if debug is not None:
+        from ..io.formats import cxx_num
+
+        debug.write(f"Offset={cxx_num(score_offset)}\n")
 
     if score_offset >= config.call_margin:
         fi = vec[0][0]

@@ -83,6 +83,25 @@ class TestCallCli:
         for d in range(3):
             assert by_id[f"decoy.{d}"][2] == "65535"
 
+    def test_debug_scoring_dumps(self, corpus, data_dir, tmp_path, capsys):
+        """--debug-scoring: the reference's compile-time DEBUG_SCORING
+        stage dumps (call_functions.tcc:359-613) as a runtime flag."""
+        out = tmp_path / "calls_ds.tsv"
+        rc = cli_main([
+            "call-functions", "-d", str(data_dir),
+            "-i", str(corpus / "Queries" / "queries.fa"),
+            "--debug-scoring", "-o", str(out)])
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "Initial calls:" in err
+        assert "after collapse:" in err
+        assert "after merge:" in err
+        assert "Offset=" in err
+        assert "KmerCall(" in err
+        # same calls as the plain run
+        rows = [l.split("\t") for l in out.read_text().splitlines()]
+        assert len(rows) == 10
+
     def test_annotate_seqs(self, corpus, data_dir, tmp_path):
         calls = tmp_path / "calls"
         uncalled = tmp_path / "uncalled"
