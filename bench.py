@@ -286,6 +286,7 @@ def main():
     cpu_mt_rate = 0.0
     vs_cpu_opt = 0.0
     vs_cpu_mt = 0.0
+    mt_threads = 0
     if host.available():
         sub = min(n_queries, 2048)
         so = (offsets[:sub + 1]).astype(np.int64)
@@ -332,8 +333,11 @@ def main():
         # optimized CPU re-creation (faster than the real reference)
         "cpu_opt_seqs_per_s": round(cpu_opt_rate, 1),
         "vs_cpu_opt": round(vs_cpu_opt, 2),
-        # authentic read path at 8 threads (reference --n-threads style)
+        # authentic read path multi-threaded (reference --n-threads
+        # style), at however many cores THIS host actually allots —
+        # recorded so the ratio is interpretable across environments
         "cpu_mt_seqs_per_s": round(cpu_mt_rate, 1),
+        "cpu_mt_threads": mt_threads,
         "vs_cpu_mt": round(vs_cpu_mt, 2),
         # the chip's two-state gather regime (docs/PERF.md): which state
         # this run measured, and the projected fast-state value

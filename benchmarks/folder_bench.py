@@ -61,20 +61,25 @@ def gen_workload(root: Path, n_files: int, seqs_per_file: int):
     data = root / "kd"
     data.mkdir(parents=True)
     table.save(data / "kmer_data", compact=False)
+    names = [f"fn{i}" for i in range(5000)] + ["hypothetical protein"]
     formats.write_function_index(
         data / "function.index",
-        [f"fn{i}" for i in range(5000)] + ["hypothetical protein"])
+        [(i, fn, 1, 0.0, 0.0, 0.0, 0.0) for i, fn in enumerate(names)])
 
     gdir = root / "genomes"
     gdir.mkdir()
     decode = alphabet.decode_codes
+    # genomes sample their proteins from a shared gene pool (related
+    # genomes share most proteins), each with private mutations — so
+    # within-file pairs exist and the distance matrices are non-trivial
+    n_genes = max(seqs_per_file * 3, 64)
+    gene_starts = rng.integers(0, SIG_KEYS - GENOME_LEN, n_genes)
     for g in range(n_files):
+        picks = rng.choice(n_genes, seqs_per_file, replace=True)
         with open(gdir / f"g{g:03d}.fa", "w") as f:
-            for s in range(seqs_per_file):
-                # each sequence is a corpus window (shared across files)
-                # with a few private mutations per genome
-                start = int(rng.integers(0, SIG_KEYS - GENOME_LEN))
-                codes = corpus[start:start + GENOME_LEN].copy()
+            for s, gene in enumerate(picks):
+                codes = corpus[gene_starts[gene]:
+                               gene_starts[gene] + GENOME_LEN].copy()
                 pos = rng.integers(0, GENOME_LEN, 4)
                 codes[pos] = aa[rng.integers(0, 20, 4)]
                 f.write(f">g{g}.p{s}\n{decode(codes)}\n")

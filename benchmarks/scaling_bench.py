@@ -98,11 +98,15 @@ def child(n: int):
             mesh, bcodes, sids, fidxs, plens)
         return build_step.finalize_sharded(sel)
 
-    kept = run_build()  # warm/compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        kept = run_build()
-    build_s = (time.perf_counter() - t0) / reps
+    if os.environ.get("SKT_SCALING_CALL_ONLY"):
+        build_s = float("nan")
+        kept = {"hi": np.zeros(0)}
+    else:
+        kept = run_build()  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            kept = run_build()
+        build_s = (time.perf_counter() - t0) / reps
 
     # ---- call-step per-phase decomposition ------------------------------
     # Cumulative truncations of the EXACT mesh call program

@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <memory>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -752,22 +753,51 @@ int skt_bdz_build_try(const unsigned char *keys, long m, uint32_t seed,
                       uint32_t *ranktable) {
     const uint64_t n = 3ull * r;
     std::vector<uint32_t> v0(m), v1(m), v2(m);
-    std::vector<uint32_t> deg(n, 0), xs(n, 0);
-    for (long i = 0; i < m; i++) {
-        const unsigned char *kb = keys + i * 8;
-        uint32_t w0 = (uint32_t)kb[0] | ((uint32_t)kb[1] << 8)
-                    | ((uint32_t)kb[2] << 16) | ((uint32_t)kb[3] << 24);
-        uint32_t w1 = (uint32_t)kb[4] | ((uint32_t)kb[5] << 8)
-                    | ((uint32_t)kb[6] << 16) | ((uint32_t)kb[7] << 24);
-        uint32_t a = w0 + 0x9E3779B9u, b = w1 + 0x9E3779B9u, c = seed + 8u;
-        jenkins_mix(a, b, c);
-        v0[i] = a % r;
-        v1[i] = b % r + r;
-        v2[i] = c % r + 2u * r;
-        deg[v0[i]]++; deg[v1[i]]++; deg[v2[i]]++;
-        xs[v0[i]] ^= (uint32_t)i; xs[v1[i]] ^= (uint32_t)i;
-        xs[v2[i]] ^= (uint32_t)i;
+    // graph build is threaded: deg/xs updates are commutative
+    // (add / xor), so relaxed atomics give the same final arrays as the
+    // sequential loop regardless of interleaving
+    std::unique_ptr<std::atomic<uint32_t>[]> deg_a(
+        new std::atomic<uint32_t>[n]());
+    std::unique_ptr<std::atomic<uint32_t>[]> xs_a(
+        new std::atomic<uint32_t>[n]());
+    {
+        int nt = skt_threads();
+        long per = (m + nt - 1) / nt;
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nt; t++) {
+            long i0 = (long)t * per, i1 = i0 + per < m ? i0 + per : m;
+            if (i0 >= i1) break;
+            ths.emplace_back([&, i0, i1]() {
+                for (long i = i0; i < i1; i++) {
+                    const unsigned char *kb = keys + i * 8;
+                    uint32_t w0 = (uint32_t)kb[0] | ((uint32_t)kb[1] << 8)
+                                | ((uint32_t)kb[2] << 16)
+                                | ((uint32_t)kb[3] << 24);
+                    uint32_t w1 = (uint32_t)kb[4] | ((uint32_t)kb[5] << 8)
+                                | ((uint32_t)kb[6] << 16)
+                                | ((uint32_t)kb[7] << 24);
+                    uint32_t a = w0 + 0x9E3779B9u, b = w1 + 0x9E3779B9u;
+                    uint32_t c = seed + 8u;
+                    jenkins_mix(a, b, c);
+                    v0[i] = a % r;
+                    v1[i] = b % r + r;
+                    v2[i] = c % r + 2u * r;
+                    uint32_t vv[3] = {v0[i], v1[i], v2[i]};
+                    for (int p = 0; p < 3; p++) {
+                        deg_a[vv[p]].fetch_add(1, std::memory_order_relaxed);
+                        xs_a[vv[p]].fetch_xor((uint32_t)i,
+                                              std::memory_order_relaxed);
+                    }
+                }
+            });
+        }
+        for (auto &th : ths) th.join();
     }
+    // the peel below is single-threaded; plain views are fine from here
+    static_assert(sizeof(std::atomic<uint32_t>) == sizeof(uint32_t),
+                  "atomic<u32> must be layout-compatible for the view");
+    uint32_t *deg = reinterpret_cast<uint32_t *>(deg_a.get());
+    uint32_t *xs = reinterpret_cast<uint32_t *>(xs_a.get());
 
     // round-based peel: per round, all vertices of degree 1 free the
     // edges they are incident to; the edge's recorded free position is
