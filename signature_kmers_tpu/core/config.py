@@ -89,6 +89,13 @@ class DeviceConfig:
     call_batch: int = 256
     # Max hits retained per sequence for the device automaton.
     max_hits_per_seq: int = 4096
+    # Process call batches in length-sorted order (results are returned
+    # in input order regardless).  Each chunk's padded length L and
+    # probe width W follow its own longest sequence, and gather cost is
+    # per probed INDEX (docs/PERF.md) — so mixed-length batches stop
+    # paying every chunk at the global maximum.  Uniform-length batches
+    # are unaffected (stable sort).
+    sort_by_length: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -433,6 +433,27 @@ class FunctionCaller:
 
     # -- end-to-end --------------------------------------------------------
 
+    @staticmethod
+    def _permute_batch(batch: fasta_io.SequenceBatch, order: np.ndarray
+                       ) -> fasta_io.SequenceBatch:
+        """Reorder a batch's sequences.
+
+        Per-sequence slice + one concatenate: variable-count np.repeat
+        index construction measured ~75x slower than this on the target
+        host (260 ns/element) — keep the slice loop."""
+        offs = np.asarray(batch.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        new_off = np.zeros(order.shape[0] + 1, np.int64)
+        np.cumsum(lens[order], out=new_off[1:])
+        codes = (np.concatenate(
+            [batch.codes[offs[i]:offs[i + 1]] for i in order])
+            if order.shape[0] else batch.codes[:0])
+        return fasta_io.SequenceBatch(
+            codes=codes,
+            offsets=new_off.astype(batch.offsets.dtype),
+            ids=[batch.ids[i] for i in order],
+            deflines=[batch.deflines[i] for i in order])
+
     def call_batch(self, batch: fasta_io.SequenceBatch,
                    keep_hits: bool = False) -> list[SequenceResult]:
         cfg = self.device_config
@@ -443,6 +464,18 @@ class FunctionCaller:
         # not inflate the whole chunk's padded width into OOM territory
         CELL_BUDGET = 8 << 20
         lens_all = batch.lengths
+
+        # length-sorted chunking: every chunk's (L, W) follows its OWN
+        # longest sequence and the probe pays per INDEX, so mixed-length
+        # batches stop probing at the global max width.  Results are
+        # restored to input order below.
+        order = None
+        if (cfg.sort_by_length and self.use_device and not keep_hits
+                and not self.config.order_constraint and n > 1
+                and np.any(lens_all[:-1] > lens_all[1:])):
+            order = np.argsort(lens_all, kind="stable")
+            batch = self._permute_batch(batch, order)
+            lens_all = batch.lengths
 
         def subs():
             s = 0
@@ -484,6 +517,10 @@ class FunctionCaller:
             while pending:
                 s0, o0 = pending.popleft()
                 results.extend(self._finalize_device(s0, o0))
+            if order is not None:
+                inv = np.empty(n, np.int64)
+                inv[order] = np.arange(n)
+                results = [results[inv[i]] for i in range(n)]
             return results
 
         # the order_constraint gate consumes avg_from_end -> needs aux

@@ -241,13 +241,16 @@ def pack_u8_rows(codes, offsets, lens, row_start, R: int):
     """
     flat = np.full(R * ALIGN, alphabet.INVALID_CODE, dtype=np.uint8)
     B = lens.shape[0]
-    if B:
-        l64 = lens.astype(np.int64)
-        within = np.arange(int(l64.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(l64) - l64, l64)
-        src = np.repeat(np.asarray(offsets[:B], np.int64), l64) + within
-        dst = np.repeat(row_start[:B].astype(np.int64) * ALIGN, l64) + within
-        flat[dst] = codes[src]
+    # per-sequence slice copies: variable-count np.repeat index
+    # construction measures ~260 ns/element on the target host (75x a
+    # slice loop) — at build scale (90M residues) that was ~20 s of pure
+    # index building
+    off64 = np.asarray(offsets[:B], np.int64)
+    rs64 = row_start[:B].astype(np.int64) * ALIGN
+    l64 = lens.astype(np.int64)
+    for b in range(B):
+        flat[rs64[b]:rs64[b] + l64[b]] = \
+            codes[off64[b]:off64[b] + l64[b]]
     return flat
 
 

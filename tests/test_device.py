@@ -201,6 +201,54 @@ class TestDeviceCall:
                 assert (c.start, c.end, c.count, c.function_index) == \
                     (gc.start, gc.end, gc.count, gc.function_index)
 
+    def test_length_sorted_chunking_preserves_results(self, corpus,
+                                                      device_built):
+        """sort_by_length: chunks follow their own max length; results
+        must come back in input order, identical to the unsorted path —
+        including across chunk boundaries (tiny call_batch forces
+        several chunks of very different (L, W) shapes)."""
+        import dataclasses
+
+        from signature_kmers_tpu.core.config import Config
+
+        b, kept = device_built
+        funcs = [b.fm.index_function_map[i]
+                 for i in sorted(b.fm.index_function_map)]
+        table = kept.to_table()
+        base = fasta.SequenceBatch.from_file(
+            corpus / "Queries" / "queries.fa")
+        # mixed-length batch: original queries + truncated/extended forms
+        # interleaved so input order is NOT length order
+        recs = []
+        rng = np.random.default_rng(5)
+        for i in range(len(base)):
+            s = base.seq_str(i)
+            recs.append(fasta.FastaRecord(f"full.{i}", "", s))
+            recs.append(fasta.FastaRecord(f"half.{i}", "", s[:len(s) // 2]))
+            recs.append(fasta.FastaRecord(f"dbl.{i}", "", s + s))
+            recs.append(fasta.FastaRecord(
+                f"tiny.{i}", "", s[:int(rng.integers(9, 40))]))
+        batch = fasta.SequenceBatch.from_records(recs)
+
+        cfg = Config()
+        dc_sorted = dataclasses.replace(cfg.device, call_batch=8,
+                                        sort_by_length=True)
+        dc_plain = dataclasses.replace(cfg.device, call_batch=8,
+                                       sort_by_length=False)
+        r1 = FunctionCaller(table, funcs, cfg.call, dc_sorted).call_batch(batch)
+        r2 = FunctionCaller(table, funcs, cfg.call, dc_plain).call_batch(batch)
+        assert [r.seq_id for r in r1] == [r.seq_id for r in r1]
+        assert [r.seq_id for r in r1] == [b_id for b_id in batch.ids]
+        for a, c in zip(r1, r2):
+            assert a.seq_id == c.seq_id
+            assert (a.best.function_index, a.best.function,
+                    a.best.score) == (c.best.function_index,
+                                      c.best.function, c.best.score)
+            assert [(x.start, x.end, x.count, x.function_index)
+                    for x in a.calls] \
+                == [(x.start, x.end, x.count, x.function_index)
+                    for x in c.calls]
+
     def test_training_recall(self, corpus, device_built):
         b, kept = device_built
         funcs = [b.fm.index_function_map[i]
