@@ -331,6 +331,14 @@ class ParallelFunctionCaller(FunctionCaller):
         rows = self.device_config.call_batch
         per_round = rows * self.ndp
         n = len(batch)
+        # length-sorted rounds, as in FunctionCaller.call_batch: each
+        # round's (L, W) follows its own longest sequence
+        lens_all = batch.lengths
+        order = None
+        if (self.device_config.sort_by_length and n > 1
+                and np.any(lens_all[:-1] > lens_all[1:])):
+            order = np.argsort(lens_all, kind="stable")
+            batch = self._permute_batch(batch, order)
         results = []
         pending = []
         # table placement once per batch (not per chunk round)
@@ -386,4 +394,8 @@ class ParallelFunctionCaller(FunctionCaller):
             for d, sub in enumerate(subs):
                 if len(sub):
                     results.extend(self._finalize_device(sub, m[d]))
+        if order is not None:
+            inv = np.empty(n, np.int64)
+            inv[order] = np.arange(n)
+            results = [results[inv[i]] for i in range(n)]
         return results

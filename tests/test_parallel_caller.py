@@ -89,6 +89,33 @@ class TestParallelCaller:
             assert g.seq_id == w.seq_id
             assert g.best == w.best
 
+    def test_sorted_rounds_match_input_order(self, built):
+        """sort_by_length on the mesh caller: mixed-length batch must
+        return results in input order, identical to the unsorted path."""
+        import dataclasses
+
+        root, table, funcs = built
+        mesh = mesh_mod.make_mesh(8)
+        base = fasta.SequenceBatch.from_file(root / "Queries" / "queries.fa")
+        recs = []
+        for i in range(len(base)):
+            s = base.seq_str(i)
+            recs.append(fasta.FastaRecord(f"f{i}", "", s))
+            recs.append(fasta.FastaRecord(f"h{i}", "", s[:len(s) // 2]))
+            recs.append(fasta.FastaRecord(f"d{i}", "", s + s))
+        batch = fasta.SequenceBatch.from_records(recs)
+        dc_s = DeviceConfig(call_batch=8, sort_by_length=True)
+        dc_p = DeviceConfig(call_batch=8, sort_by_length=False)
+        r1 = ParallelFunctionCaller(table, funcs, device_config=dc_s,
+                                    mesh=mesh).call_batch(batch)
+        r2 = ParallelFunctionCaller(table, funcs, device_config=dc_p,
+                                    mesh=mesh).call_batch(batch)
+        assert [r.seq_id for r in r1] == batch.ids
+        for a, c in zip(r1, r2):
+            assert a.seq_id == c.seq_id
+            assert (a.best.function_index, a.best.function, a.best.score) \
+                == (c.best.function_index, c.best.function, c.best.score)
+
     def test_multi_round(self, built):
         root, table, funcs = built
         mesh = mesh_mod.make_mesh(8)
