@@ -251,19 +251,32 @@ def _add_annotate(sub):
     p.add_argument("uncalled_ids_file")
     p.add_argument("-j", "--parallel", type=int, default=1)
     p.add_argument("--ignore-hypo", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard work over all local devices (dp x tp mesh)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="table-parallel shards within the mesh")
     p.set_defaults(func=cmd_annotate)
 
 
 def cmd_annotate(args):
     import dataclasses
 
+    from ..parallel import distributed
     from ..utils import paths
 
+    distributed.initialize()
     cfg = Config()
     table, function_index = pipeline.load_data_dir(args.kmer_data_dir, cfg)
     call_cfg = dataclasses.replace(cfg.call,
                                    ignore_hypothetical=args.ignore_hypo)
-    caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
+    if getattr(args, "mesh", False):
+        from ..parallel.mesh import make_mesh
+        from ..parallel.parallel_caller import ParallelFunctionCaller
+
+        caller = ParallelFunctionCaller(table, function_index, call_cfg,
+                                        cfg.device, mesh=make_mesh(tp=args.tp))
+    else:
+        caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
     uncalled = []
     with open(args.calls_file, "w") as out:
         for path in paths.populate_path_list([args.sequences_dir]):
