@@ -28,6 +28,18 @@ from ..ops import kmer_pack
 from ..table.kmer_table import KmerTable
 
 
+def _mark_varying(x, axes):
+    """Mark a shard_map value device-varying over `axes` (scan carries
+    must match their xs' varying type).  jax >= 0.8 spells this
+    lax.pcast(..., to="varying"); pvary is the deprecated name."""
+    import jax
+
+    try:
+        return jax.lax.pcast(x, tuple(axes), to="varying")
+    except (AttributeError, TypeError):
+        return jax.lax.pvary(x, tuple(axes))
+
+
 class MatrixDistance:
     def __init__(self, table: KmerTable, function_index: list[str],
                  config: DistanceConfig = DistanceConfig(),
@@ -129,8 +141,13 @@ class MatrixDistance:
                 and n_seqs > self.config.dense_pair_limit):
             return self._pairs_tiled(kmer_id, seqs, n_seqs, mesh=mesh)
         counts = self._pair_counts(kmer_id, seqs, n_seqs, mesh=mesh)
-        i1, i2 = np.nonzero(np.triu(counts, k=1))
-        pairs = [(int(a), int(b), int(counts[a, b])) for a, b in zip(i1, i2)]
+        # nonzero on the symmetric matrix + upper-triangle filter: avoids
+        # materializing np.triu's full (S, S) int64 copy (0.5 GB at 8K)
+        i1, i2 = np.nonzero(counts)
+        m = i1 < i2
+        i1, i2 = i1[m], i2[m]
+        pairs = [(int(a), int(b), int(c))
+                 for a, b, c in zip(i1, i2, counts[i1, i2])]
         pairs.sort()
         return pairs
 
@@ -288,7 +305,7 @@ class MatrixDistance:
 
             init = jnp.zeros((sblk, sblk), dtype=jnp.float32)
             if axes:
-                init = jax.lax.pvary(init, axes)
+                init = _mark_varying(init, axes)
             C, _ = jax.lax.scan(body, init, (krI, srI, vI, krJ, srJ, vJ))
             return C
 
@@ -432,7 +449,7 @@ class MatrixDistance:
                 if axes:
                     # inside shard_map the xs are device-varying; the
                     # carry init must be marked varying too
-                    init = jax.lax.pvary(init, axes)
+                    init = _mark_varying(init, axes)
                 C, _ = jax.lax.scan(body, init, (kk_rel, ssb, val))
                 return C
 
