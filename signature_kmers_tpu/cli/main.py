@@ -157,18 +157,16 @@ def cmd_call(args):
         from ..parallel.parallel_caller import ParallelFunctionCaller
 
         # multi-host: each process keeps a LOCAL mesh over its own
-        # devices and takes a disjoint file slice (below) — the
-        # reference's "disjoint files per job" model with in-process
-        # collectives per host.  A process-spanning global mesh is the
-        # tp-over-pod path (tests/test_multiprocess.py exercises it);
-        # for file-parallel calling, local meshes avoid lockstep chunks.
-        import jax
-
+        # devices (make_mesh(local=True) — NOT a slice of the global
+        # list, which is rank 0's devices on every process) and takes a
+        # disjoint file slice below: the reference's "disjoint files per
+        # job" model with in-process collectives per host.  A
+        # process-spanning global mesh is the tp-over-pod path
+        # (tests/test_multiprocess.py exercises it); for file-parallel
+        # calling, local meshes avoid lockstep chunks.
         caller = ParallelFunctionCaller(
             table, function_index, call_cfg, cfg.device,
-            mesh=make_mesh(n_devices=len(jax.local_devices())
-                           if multi else None,
-                           tp=args.tp))
+            mesh=make_mesh(local=multi, tp=args.tp))
     else:
         caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
 
@@ -264,7 +262,7 @@ def cmd_annotate(args):
     from ..parallel import distributed
     from ..utils import paths
 
-    distributed.initialize()
+    multi = distributed.initialize()
     cfg = Config()
     table, function_index = pipeline.load_data_dir(args.kmer_data_dir, cfg)
     call_cfg = dataclasses.replace(cfg.call,
@@ -273,13 +271,23 @@ def cmd_annotate(args):
         from ..parallel.mesh import make_mesh
         from ..parallel.parallel_caller import ParallelFunctionCaller
 
-        caller = ParallelFunctionCaller(table, function_index, call_cfg,
-                                        cfg.device, mesh=make_mesh(tp=args.tp))
+        caller = ParallelFunctionCaller(
+            table, function_index, call_cfg, cfg.device,
+            mesh=make_mesh(local=multi, tp=args.tp))
     else:
         caller = FunctionCaller(table, function_index, call_cfg, cfg.device)
+    # multi-host: disjoint file slices per process + private output
+    # shards, process 0 merges after the barrier (same model as
+    # cmd_call; the sequence files are the sharding unit)
+    calls_path = args.calls_file
+    if multi:
+        import jax
+
+        calls_path = f"{args.calls_file}.shard{jax.process_index():05d}"
     uncalled = []
-    with open(args.calls_file, "w") as out:
-        for path in paths.populate_path_list([args.sequences_dir]):
+    with open(calls_path, "w") as out:
+        for path in distributed.shard_inputs(
+                paths.populate_path_list([args.sequences_dir])):
             for res in caller.call_file(path):
                 if res.best.function_index == UNDEFINED_FUNCTION:
                     uncalled.append(res.seq_id)
@@ -287,7 +295,22 @@ def cmd_annotate(args):
                     out.write(formats.format_call_row(
                         res.seq_id, res.best.function,
                         res.best.function_index, res.best.score))
-    formats.write_lines(args.uncalled_ids_file, uncalled)
+    if multi:
+        import jax
+
+        formats.write_lines(f"{args.uncalled_ids_file}"
+                            f".shard{jax.process_index():05d}", uncalled)
+        distributed.barrier("annotate-shards-written")
+        if distributed.is_main():
+            for target in (args.calls_file, args.uncalled_ids_file):
+                with open(target, "w") as merged:
+                    for p in range(jax.process_count()):
+                        sp = Path(f"{target}.shard{p:05d}")
+                        merged.write(sp.read_text())
+                        sp.unlink()
+        distributed.barrier("annotate-shards-merged")
+    else:
+        formats.write_lines(args.uncalled_ids_file, uncalled)
     return 0
 
 
@@ -366,7 +389,7 @@ def _add_matrix_folder(sub):
 def cmd_matrix_folder(args):
     from ..parallel import distributed
 
-    distributed.initialize()
+    multi = distributed.initialize()
     cfg = Config()
     table, function_index = pipeline.load_data_dir(args.data_dir, cfg)
     md = MatrixDistance(table, function_index, cfg.distance, cfg.device)
@@ -377,7 +400,10 @@ def cmd_matrix_folder(args):
     if getattr(args, "mesh", False):
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh()
+        # multi-host: per-process LOCAL mesh — each process computes
+        # different files, so a process-spanning mesh (whose collectives
+        # need identical SPMD programs on every rank) would deadlock
+        mesh = make_mesh(local=multi)
     # multi-host: disjoint file slices per process (the reference's
     # multi-job sharding made explicit); the per-output existence skip
     # below additionally keeps ANY set of concurrent/restarted jobs safe
@@ -473,13 +499,24 @@ def cmd_serve(args):
 
     from ..service.server import AnnotationService, serve
 
-    mesh = None
-    if getattr(args, "mesh", False):
+    def build_mesh():
+        # constructed lazily and always AFTER the --daemonize fork:
+        # make_mesh touches jax.devices(), and an XLA client initialized
+        # in the parent does not survive fork (runtime threads are lost;
+        # the daemon's first dispatch would hang)
+        if not getattr(args, "mesh", False):
+            return None
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(tp=args.tp)
+        return make_mesh(tp=args.tp)
+
     if args.no_listen or args.kmer_family_distribution:
-        svc = AnnotationService(args.data_dir, mesh=mesh)
+        # mesh only on the no-listen (profiling) path, which returns
+        # before any fork; the distribution write is host-side and the
+        # daemonizing path must not touch jax yet
+        svc = AnnotationService(args.data_dir,
+                                mesh=build_mesh() if args.no_listen
+                                else None)
         if args.kmer_family_distribution:
             svc.write_kmer_distribution(args.kmer_family_distribution)
             print(f"write distribution to {args.kmer_family_distribution}",
@@ -500,7 +537,7 @@ def cmd_serve(args):
             os.dup2(devnull, fd)
     if args.pid_file:
         Path(args.pid_file).write_text(f"{os.getpid()}\n")
-    serve(args.data_dir, host=args.host, port=args.port, mesh=mesh)
+    serve(args.data_dir, host=args.host, port=args.port, mesh=build_mesh())
     return 0
 
 

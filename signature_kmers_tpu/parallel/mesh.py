@@ -14,11 +14,26 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_mesh(n_devices: int | None = None, tp: int | None = None):
+def make_mesh(n_devices: int | None = None, tp: int | None = None,
+              devices=None, local: bool = False):
+    """Build the (dp, tp) mesh.
+
+    devices: explicit device list (overrides everything else).
+    local: use only THIS process's devices — the per-process mesh for
+    multi-host runs where each process works a disjoint input slice
+    (slicing jax.devices() would hand every rank process 0's devices).
+    Default: the global device list (spans processes under
+    jax.distributed).
+    """
     import jax
     from jax.sharding import Mesh
 
-    devs = jax.devices()
+    if devices is not None:
+        devs = list(devices)
+    elif local:
+        devs = jax.local_devices()
+    else:
+        devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)

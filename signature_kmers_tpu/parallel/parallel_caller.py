@@ -251,6 +251,7 @@ class ParallelFunctionCaller(FunctionCaller):
         else:
             self.stable = ShardedBucketTable.from_table(table, self.ntp)
         self._pjit = {}
+        self._tab_in = None  # device placement cache (table is immutable)
 
     def _parallel_fn(self, L: int, F: int, W: int | None = None):
         W = L if W is None else W
@@ -341,10 +342,14 @@ class ParallelFunctionCaller(FunctionCaller):
             batch = self._permute_batch(batch, order)
         results = []
         pending = []
-        # table placement once per batch (not per chunk round)
-        tab_in = [distributed.put_global(self.mesh, spec, a)
-                  for spec, a in zip(self.stable.in_specs(P),
-                                     self.stable.arrays())]
+        # table placement once per CALLER (the sharded table is
+        # immutable; /add swaps in a whole new caller) — re-uploading
+        # GBs per batch would dominate serve --mesh request latency
+        if self._tab_in is None:
+            self._tab_in = [distributed.put_global(self.mesh, spec, a)
+                            for spec, a in zip(self.stable.in_specs(P),
+                                               self.stable.arrays())]
+        tab_in = self._tab_in
         for s in range(0, max(n, 1), per_round):
             e = min(s + per_round, n)
             subs = []

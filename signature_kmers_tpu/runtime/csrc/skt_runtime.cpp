@@ -16,6 +16,7 @@
 // this environment).
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <memory>
 #include <cmath>
@@ -562,18 +563,20 @@ long skt_cpu_baseline_bdz(const unsigned char *codes, const int64_t *seq_off,
                           int min_hits, int max_gap, int kmer_size,
                           double mad_floor, double len_window) {
     if (kmer_size != 8) return -1;  // jenkins path specialized to K=8 keys
-    // per-byte count of assigned (!= 3) 2-bit fields, for rank byte scans
-    static uint8_t assigned_in_byte[256];
-    static bool tab_init = false;
-    if (!tab_init) {
+    // per-byte count of assigned (!= 3) 2-bit fields, for rank byte
+    // scans; magic-static init is thread-safe (the _mt entry point calls
+    // this concurrently from several threads)
+    static const std::array<uint8_t, 256> assigned_tab = []() {
+        std::array<uint8_t, 256> t{};
         for (int v = 0; v < 256; v++) {
             int cnt = 0;
             for (int f = 0; f < 4; f++)
                 if (((v >> (2 * f)) & 3) != 3) cnt++;
-            assigned_in_byte[v] = (uint8_t)cnt;
+            t[v] = (uint8_t)cnt;
         }
-        tab_init = true;
-    }
+        return t;
+    }();
+    const uint8_t *assigned_in_byte = assigned_tab.data();
     long total_calls = 0;
     std::vector<Hit> hits;
     std::vector<double> lengths, devs;
@@ -891,17 +894,17 @@ void skt_bdz_search(const unsigned char *keys, long n, uint32_t seed,
                     uint32_t r, const unsigned char *g,
                     const uint32_t *ranktable, int rank_b,
                     uint32_t *out_idx) {
-    static uint8_t assigned_in_byte[256];
-    static bool tab_init = false;
-    if (!tab_init) {
+    static const std::array<uint8_t, 256> assigned_tab = []() {
+        std::array<uint8_t, 256> t{};
         for (int v = 0; v < 256; v++) {
             int cnt = 0;
             for (int f = 0; f < 4; f++)
                 if (((v >> (2 * f)) & 3) != 3) cnt++;
-            assigned_in_byte[v] = (uint8_t)cnt;
+            t[v] = (uint8_t)cnt;
         }
-        tab_init = true;
-    }
+        return t;
+    }();
+    const uint8_t *assigned_in_byte = assigned_tab.data();
     int nt = skt_threads();
     long per = (n + nt - 1) / nt;
     std::vector<std::thread> ths;

@@ -5,7 +5,10 @@ jax.distributed runtime, exercising the multi-host I/O sharding path:
 each process parses only its file slice, writes a private shard, and
 process 0 merges (cli/main.py cmd_call).
 
-Usage: python mp_cli_driver.py <pid> <nproc> <port> <data_dir> <out> <files...>
+Usage:
+  python mp_cli_driver.py call <pid> <nproc> <port> <data_dir> <out> <files...>
+  python mp_cli_driver.py annotate <pid> <nproc> <port> <data_dir> \
+      <seq_dir> <calls_out> <uncalled_out>
 """
 
 import os
@@ -16,9 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 
 def main():
-    pid, nproc, port = sys.argv[1], sys.argv[2], sys.argv[3]
-    data_dir, out = sys.argv[4], sys.argv[5]
-    files = sys.argv[6:]
+    mode = sys.argv[1]
+    pid, nproc, port = sys.argv[2], sys.argv[3], sys.argv[4]
+    data_dir = sys.argv[5]
 
     import jax
 
@@ -29,8 +32,14 @@ def main():
 
     from signature_kmers_tpu.cli.main import main as cli_main
 
-    rc = cli_main(["call-functions", "-d", data_dir, "-i", *files,
-                   "-o", out])
+    if mode == "call":
+        out, files = sys.argv[6], sys.argv[7:]
+        rc = cli_main(["call-functions", "-d", data_dir, "-i", *files,
+                       "-o", out])
+    else:
+        seq_dir, calls_out, uncalled_out = sys.argv[6:9]
+        rc = cli_main(["annotate-seqs", data_dir, "genus-unused", seq_dir,
+                       calls_out, uncalled_out])
     print(f"pid={pid} rc={rc}", flush=True)
     sys.exit(rc)
 

@@ -237,7 +237,8 @@ class TestDeviceCall:
                                        sort_by_length=False)
         r1 = FunctionCaller(table, funcs, cfg.call, dc_sorted).call_batch(batch)
         r2 = FunctionCaller(table, funcs, cfg.call, dc_plain).call_batch(batch)
-        assert [r.seq_id for r in r1] == [r.seq_id for r in r1]
+        assert len(r1) == len(r2) == len(batch)
+        assert [r.seq_id for r in r1] == [r.seq_id for r in r2]
         assert [r.seq_id for r in r1] == [b_id for b_id in batch.ids]
         for a, c in zip(r1, r2):
             assert a.seq_id == c.seq_id

@@ -115,7 +115,7 @@ def test_multihost_cli_io_sharding(mp_data, tmp_path):
     env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
     procs = [
         subprocess.Popen(
-            [sys.executable, str(CLI_DRIVER), str(pid), str(nproc),
+            [sys.executable, str(CLI_DRIVER), "call", str(pid), str(nproc),
              str(port), str(data), str(merged), *files],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
@@ -139,3 +139,54 @@ def test_multihost_cli_io_sharding(mp_data, tmp_path):
     assert merged.read_text() != ""
     # shard files cleaned up
     assert not list(tmp_path.glob("merged.tsv.shard*"))
+
+
+def test_multihost_cli_annotate_sharding(mp_data, tmp_path):
+    """annotate-seqs under 2 jax.distributed processes: file slices per
+    process, shard outputs merged by rank 0 for BOTH the calls file and
+    the uncalled-ids file."""
+    data, files = mp_data
+    from signature_kmers_tpu.cli.main import main as cli_main
+
+    seq_dir = Path(files[0]).parent
+    exp_calls = tmp_path / "exp_calls"
+    exp_unc = tmp_path / "exp_unc"
+    rc = cli_main(["annotate-seqs", str(data), "genus-unused", str(seq_dir),
+                   str(exp_calls), str(exp_unc)])
+    assert rc == 0
+
+    nproc = 2
+    port = _free_port()
+    calls = tmp_path / "calls"
+    unc = tmp_path / "uncalled"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(CLI_DRIVER), "annotate", str(pid),
+             str(nproc), str(port), str(data), str(seq_dir), str(calls),
+             str(unc)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate(timeout=30)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"annotate driver failed:\n{out[-4000:]}"
+    assert sorted(calls.read_text().splitlines()) \
+        == sorted(exp_calls.read_text().splitlines())
+    assert sorted(unc.read_text().splitlines()) \
+        == sorted(exp_unc.read_text().splitlines())
+    assert not list(tmp_path.glob("calls.shard*"))
+    assert not list(tmp_path.glob("uncalled.shard*"))
