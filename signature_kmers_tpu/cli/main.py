@@ -541,6 +541,19 @@ def cmd_serve(args):
     return 0
 
 
+def _apply_n_threads(args) -> None:
+    """Map the reference's --n-threads / -j to the native host runtime's
+    worker count (SKT_THREADS; table placement, BDZ build, MT baseline,
+    bdz_search).  The reference uses it for tbb::global_control
+    (kmers-build-signatures.cc:167, kmers-call-functions.cc:91); device
+    compute is unaffected — the chip is the parallelism."""
+    import os
+
+    n = getattr(args, "n_threads", None) or getattr(args, "parallel", None)
+    if n and n > 1 and "SKT_THREADS" not in os.environ:
+        os.environ["SKT_THREADS"] = str(n)
+
+
 def main(argv=None):
     from ..utils.jaxcache import enable_cache
 
@@ -570,6 +583,7 @@ def main(argv=None):
     p_setup.set_defaults(func=_setup)
 
     args = parser.parse_args(argv)
+    _apply_n_threads(args)
     return args.func(args)
 
 
