@@ -36,6 +36,12 @@ def main():
         out, files = sys.argv[6], sys.argv[7:]
         rc = cli_main(["call-functions", "-d", data_dir, "-i", *files,
                        "-o", out])
+    elif mode == "call-mesh":
+        # multi-host --mesh: each rank must build a LOCAL mesh over its
+        # own devices (regression for the jax.devices()[:n] slicing bug)
+        out, files = sys.argv[6], sys.argv[7:]
+        rc = cli_main(["call-functions", "-d", data_dir, "-i", *files,
+                       "-o", out, "--mesh", "--tp", "1"])
     else:
         seq_dir, calls_out, uncalled_out = sys.argv[6:9]
         rc = cli_main(["annotate-seqs", data_dir, "genus-unused", seq_dir,

@@ -254,6 +254,47 @@ class TestService:
         t.join(timeout=10)
         assert not t.is_alive()
 
+    def test_mesh_service_over_http(self, corpus, data_dir):
+        """serve --mesh end-to-end: the real asyncio server running on a
+        sharded-table service answers /query over HTTP identically to a
+        single-device server."""
+        import asyncio
+        import time
+        import urllib.request
+
+        from signature_kmers_tpu.parallel.mesh import make_mesh
+        from signature_kmers_tpu.service import server as srv
+
+        port = 16103
+        loop = asyncio.new_event_loop()
+
+        def run():
+            loop.run_until_complete(
+                srv.serve_async(str(data_dir), port=port,
+                                mesh=make_mesh(tp=2)))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(200):
+            try:
+                urllib.request.urlopen(base + "/version", timeout=2).read()
+                break
+            except Exception:
+                time.sleep(0.1)
+        else:
+            raise RuntimeError("mesh service did not start")
+        fa = (corpus / "Queries" / "queries.fa").read_bytes()
+        req = urllib.request.Request(base + "/query", data=fa, method="POST")
+        resp = urllib.request.urlopen(req, timeout=120).read().decode()
+        from signature_kmers_tpu.service.server import AnnotationService
+
+        single = AnnotationService(str(data_dir))
+        assert resp == single.query_text(fa)
+        urllib.request.urlopen(base + "/quit", timeout=5).read()
+        t.join(timeout=10)
+        assert not t.is_alive()
+
     def test_mesh_service_matches_single_device(self, corpus, data_dir):
         """serve --mesh: the sharded-table service (queries dp-sharded,
         table tp-sharded over the virtual 8-device mesh —

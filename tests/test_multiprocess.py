@@ -141,6 +141,50 @@ def test_multihost_cli_io_sharding(mp_data, tmp_path):
     assert not list(tmp_path.glob("merged.tsv.shard*"))
 
 
+def test_multihost_cli_mesh_local_devices(mp_data, tmp_path):
+    """call-functions --mesh under 2 jax.distributed processes: each rank
+    must construct its mesh from its OWN local devices (make_mesh
+    local=True) — slicing the global device list hands every rank
+    process 0's devices and deadlocks/crashes (round-3 review finding)."""
+    data, files = mp_data
+    from signature_kmers_tpu.cli.main import main as cli_main
+
+    expected = tmp_path / "expected_mesh.tsv"
+    rc = cli_main(["call-functions", "-d", str(data), "-i", *files,
+                   "-o", str(expected)])
+    assert rc == 0
+
+    nproc = 2
+    port = _free_port()
+    merged = tmp_path / "merged_mesh.tsv"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(CLI_DRIVER), "call-mesh", str(pid),
+             str(nproc), str(port), str(data), str(merged), *files],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate(timeout=30)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"mesh cli driver failed:\n{out[-4000:]}"
+    assert sorted(merged.read_text().splitlines()) \
+        == sorted(expected.read_text().splitlines())
+
+
 def test_multihost_cli_annotate_sharding(mp_data, tmp_path):
     """annotate-seqs under 2 jax.distributed processes: file slices per
     process, shard outputs merged by rank 0 for BOTH the calls file and
