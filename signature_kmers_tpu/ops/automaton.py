@@ -163,33 +163,43 @@ def device_automaton(found, func, mean, seqlen,
     msum = jnp.where(member, mean[:, None, :], 0).sum(axis=2)
 
     # Exact rank selection by counting binary search over the value range
-    # (means and deviations are 16/17-bit integers) — each rank costs
+    # (means and deviations are 16/18-bit integers) — each rank costs
     # `bits` masked reductions, far cheaper than a (B, REC_CAP, L) sort.
-    def kth_smallest(vals3, ktarget, bits):
-        # smallest x with |{member vals <= x}| >= ktarget (garbage, later
-        # masked, where ktarget exceeds the member count)
-        lo = jnp.zeros_like(ktarget)
-        hi = jnp.full_like(ktarget, (1 << bits) - 1)
+    # The two median ranks differ by at most one (hi_k is lo_k or
+    # lo_k+1), so each pair shares ONE search: x2 = x1 when x1's
+    # cumulative count already covers rank k2, else the smallest member
+    # value above x1 — 2 extra reductions instead of a second full
+    # search (the masked (B, REC_CAP, W) reductions are this pass's
+    # entire cost; 68 -> 38 of them).
+    def kth_pair(vals3, k1, k2, bits):
+        # x1 = smallest x with |{member vals <= x}| >= k1 (garbage, later
+        # masked, where k1 exceeds the member count)
+        lo = jnp.zeros_like(k1)
+        hi = jnp.full_like(k1, (1 << bits) - 1)
         for _ in range(bits):
             mid = (lo + hi) >> 1
             n_le = (member & (vals3 <= mid[:, :, None])).sum(axis=2)
-            ge = n_le >= ktarget
+            ge = n_le >= k1
             hi = jnp.where(ge, mid, hi)
             lo = jnp.where(ge, lo, mid + 1)
-        return hi
+        x1 = hi
+        n_le1 = (member & (vals3 <= x1[:, :, None])).sum(axis=2)
+        big = jnp.int32(1 << 30)
+        x_next = jnp.where(member & (vals3 > x1[:, :, None]), vals3,
+                           big).min(axis=2)
+        x2 = jnp.where(n_le1 >= k2, x1, x_next)
+        return x1, x2
 
     safe_cnt = jnp.maximum(cnt, 1)
     lo_k = (safe_cnt - 1) // 2 + 1
     hi_k = safe_cnt // 2 + 1
     mean3 = jnp.broadcast_to(mean[:, None, :], member.shape)
-    med_lo = kth_smallest(mean3, lo_k, 16)
-    med_hi = kth_smallest(mean3, hi_k, 16)
+    med_lo, med_hi = kth_pair(mean3, lo_k, hi_k, 16)
     med2 = med_lo + med_hi  # exact 2*median, int32
     median = med2.astype(jnp.float32) / 2.0
 
     dev2 = jnp.abs(2 * mean3 - med2[:, :, None])  # exact 2*|mean - median|
-    d2_lo = kth_smallest(dev2, lo_k, 18)
-    d2_hi = kth_smallest(dev2, hi_k, 18)
+    d2_lo, d2_hi = kth_pair(dev2, lo_k, hi_k, 18)
     mad = (d2_lo + d2_hi).astype(jnp.float32) / 4.0
     mad = jnp.where(mad == 0.0, jnp.float32(mad_floor), mad)
 
