@@ -222,19 +222,10 @@ def cmd_call(args):
         if out is not sys.stdout:
             out.close()
     if shard_path is not None:
-        import jax
-
+        # shards concatenate by process id (shard p held files p::nproc;
+        # round-robin interleaving restores input order only per-shard)
         distributed.barrier("call-shards-written")
-        if distributed.is_main():
-            # merge shards in file-slice order (shard p held files
-            # p::nproc; interleaving by round-robin restores input order
-            # only per-shard — concatenate by process id, documented)
-            with open(args.output_file, "w") as merged:
-                for p in range(jax.process_count()):
-                    sp = f"{args.output_file}.shard{p:05d}"
-                    with open(sp) as f:
-                        merged.write(f.read())
-                    Path(sp).unlink()
+        distributed.merge_shards(args.output_file)
         distributed.barrier("call-shards-merged")
     return 0
 
@@ -301,13 +292,8 @@ def cmd_annotate(args):
         formats.write_lines(f"{args.uncalled_ids_file}"
                             f".shard{jax.process_index():05d}", uncalled)
         distributed.barrier("annotate-shards-written")
-        if distributed.is_main():
-            for target in (args.calls_file, args.uncalled_ids_file):
-                with open(target, "w") as merged:
-                    for p in range(jax.process_count()):
-                        sp = Path(f"{target}.shard{p:05d}")
-                        merged.write(sp.read_text())
-                        sp.unlink()
+        distributed.merge_shards(args.calls_file)
+        distributed.merge_shards(args.uncalled_ids_file)
         distributed.barrier("annotate-shards-merged")
     else:
         formats.write_lines(args.uncalled_ids_file, uncalled)

@@ -454,6 +454,15 @@ class FunctionCaller:
             ids=[batch.ids[i] for i in order],
             deflines=[batch.deflines[i] for i in order])
 
+    @staticmethod
+    def _restore_order(results: list, order: np.ndarray) -> list:
+        """Undo _permute_batch: results[j] belongs to input index
+        order[j]; return them in input order."""
+        n = order.shape[0]
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        return [results[inv[i]] for i in range(n)]
+
     def call_batch(self, batch: fasta_io.SequenceBatch,
                    keep_hits: bool = False) -> list[SequenceResult]:
         cfg = self.device_config
@@ -518,9 +527,7 @@ class FunctionCaller:
                 s0, o0 = pending.popleft()
                 results.extend(self._finalize_device(s0, o0))
             if order is not None:
-                inv = np.empty(n, np.int64)
-                inv[order] = np.arange(n)
-                results = [results[inv[i]] for i in range(n)]
+                results = self._restore_order(results, order)
             return results
 
         # the order_constraint gate consumes avg_from_end -> needs aux

@@ -98,6 +98,29 @@ def barrier(name: str = "skt_barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def merge_shards(target) -> None:
+    """Rank 0 concatenates per-process output shards into `target`.
+
+    Protocol shared by the multi-host CLIs: every process wrote
+    `<target>.shard<pid:05d>`; after the callers' barrier, rank 0
+    streams the shards together in process order (binary mode — byte
+    exact for any text encoding, constant memory) and unlinks them.
+    Call distributed.barrier() before AND after (writers must be done;
+    readers must wait for the merge)."""
+    import shutil
+
+    import jax
+
+    if not is_main():
+        return
+    with open(target, "wb") as merged:
+        for p in range(jax.process_count()):
+            sp = f"{target}.shard{p:05d}"
+            with open(sp, "rb") as f:
+                shutil.copyfileobj(f, merged)
+            os.unlink(sp)
+
+
 def is_multiprocess_mesh(mesh) -> bool:
     """Does this mesh span devices of more than one process?"""
     import jax

@@ -400,7 +400,5 @@ class ParallelFunctionCaller(FunctionCaller):
                 if len(sub):
                     results.extend(self._finalize_device(sub, m[d]))
         if order is not None:
-            inv = np.empty(n, np.int64)
-            inv[order] = np.arange(n)
-            results = [results[inv[i]] for i in range(n)]
+            results = self._restore_order(results, order)
         return results

@@ -537,6 +537,23 @@ long skt_cpu_baseline(const unsigned char *codes, const int64_t *seq_off,
 // skt_cpu_baseline above (exact-membership cuckoo probe) is kept and
 // reported alongside.
 
+// per-byte count of assigned (!= 3) 2-bit g-array fields, shared by the
+// BDZ rank byte scans (baseline + search); magic-static init is
+// thread-safe (both consumers run multi-threaded)
+static const uint8_t *bdz_assigned_in_byte() {
+    static const std::array<uint8_t, 256> tab = []() {
+        std::array<uint8_t, 256> t{};
+        for (int v = 0; v < 256; v++) {
+            int cnt = 0;
+            for (int f = 0; f < 4; f++)
+                if (((v >> (2 * f)) & 3) != 3) cnt++;
+            t[v] = (uint8_t)cnt;
+        }
+        return t;
+    }();
+    return tab.data();
+}
+
 static inline void jenkins_mix(uint32_t &a, uint32_t &b, uint32_t &c) {
     // canonical Bob Jenkins 1996 lookup2 mix (cmph jenkins.c)
     a -= b; a -= c; a ^= (c >> 13);
@@ -563,20 +580,7 @@ long skt_cpu_baseline_bdz(const unsigned char *codes, const int64_t *seq_off,
                           int min_hits, int max_gap, int kmer_size,
                           double mad_floor, double len_window) {
     if (kmer_size != 8) return -1;  // jenkins path specialized to K=8 keys
-    // per-byte count of assigned (!= 3) 2-bit fields, for rank byte
-    // scans; magic-static init is thread-safe (the _mt entry point calls
-    // this concurrently from several threads)
-    static const std::array<uint8_t, 256> assigned_tab = []() {
-        std::array<uint8_t, 256> t{};
-        for (int v = 0; v < 256; v++) {
-            int cnt = 0;
-            for (int f = 0; f < 4; f++)
-                if (((v >> (2 * f)) & 3) != 3) cnt++;
-            t[v] = (uint8_t)cnt;
-        }
-        return t;
-    }();
-    const uint8_t *assigned_in_byte = assigned_tab.data();
+    const uint8_t *assigned_in_byte = bdz_assigned_in_byte();
     long total_calls = 0;
     std::vector<Hit> hits;
     std::vector<double> lengths, devs;
@@ -894,17 +898,7 @@ void skt_bdz_search(const unsigned char *keys, long n, uint32_t seed,
                     uint32_t r, const unsigned char *g,
                     const uint32_t *ranktable, int rank_b,
                     uint32_t *out_idx) {
-    static const std::array<uint8_t, 256> assigned_tab = []() {
-        std::array<uint8_t, 256> t{};
-        for (int v = 0; v < 256; v++) {
-            int cnt = 0;
-            for (int f = 0; f < 4; f++)
-                if (((v >> (2 * f)) & 3) != 3) cnt++;
-            t[v] = (uint8_t)cnt;
-        }
-        return t;
-    }();
-    const uint8_t *assigned_in_byte = assigned_tab.data();
+    const uint8_t *assigned_in_byte = bdz_assigned_in_byte();
     int nt = skt_threads();
     long per = (n + nt - 1) / nt;
     std::vector<std::thread> ths;
