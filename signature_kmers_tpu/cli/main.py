@@ -176,6 +176,13 @@ def cmd_call(args):
     # concatenates after the barrier — input parsing scales with hosts.
     my_files = distributed.shard_inputs(args.input_files)
     shard_path = None
+    if multi and not args.output_file:
+        # stdout under multi-host would interleave per-process slices
+        # with no merge — refuse rather than emit garbled output
+        raise SystemExit(
+            "call-functions: -o/--output-file is required when running "
+            "multi-host (jax.process_count() > 1); per-process stdout "
+            "slices cannot be merged")
     if multi and args.output_file:
         import jax
 
@@ -201,7 +208,8 @@ def cmd_call(args):
                     print(f"=== scoring {res.seq_id} ===", file=sys.stderr)
                     golden_best_call(list(res.calls),
                                      caller.function_at_index,
-                                     caller.config, debug=sys.stderr)
+                                     caller.config, debug=sys.stderr,
+                                     debug_id=res.seq_id)
                 if args.debug_hits and res.hits:
                     from ..core import alphabet
                     import math

@@ -83,8 +83,6 @@ class TableConfig:
 class DeviceConfig:
     """Device batching parameters for the JAX pipelines."""
 
-    # Queries are padded to this many residues per batch row.
-    max_seq_len: int = 4096
     # Sequences per device batch for the caller.
     call_batch: int = 256
     # Max hits retained per sequence for the device automaton.

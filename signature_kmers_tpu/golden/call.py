@@ -213,15 +213,18 @@ def _fmt_call(c: KmerCall) -> str:
 
 
 def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str],
-                   config: CallConfig, debug=None) -> BestCall:
+                   config: CallConfig, debug=None,
+                   debug_id: str = "") -> BestCall:
     """Collapse -> bridge-merge -> fusion -> margin scoring
     (ref: call_functions.tcc:347-659).
 
     ``debug``: optional text stream receiving the reference's
     DEBUG_SCORING stage dumps (initial calls / after collapse / after
-    merge / fusion expression / per-function totals / margin offset —
-    call_functions.tcc:359-365,390-396,436-442,521-526,599-613), which
-    the reference only exposes as a compile-time flag."""
+    merge / fusion expression / fusion-decision lines / per-function
+    totals / margin offset — call_functions.tcc:359-365,390-396,
+    436-442,521-551,599-613), which the reference only exposes as a
+    compile-time flag.  ``debug_id`` is the sequence id interpolated
+    into the "call fusion <id> <exp>" line (tcc:547)."""
     if not calls:
         return BestCall(UNDEFINED_FUNCTION, "", 0.0, 0.0)
     if debug is not None:
@@ -305,6 +308,32 @@ def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str
                     s = np.float32(s + np.float32(x))
                 return np.float32(s / np.float32(len(xs)))
 
+            def f32_var(xs):
+                # boost tag::variance iterative recurrence in float32
+                # (variance_impl; the dump-only companion of the mean,
+                # call_functions.tcc:534-536)
+                m = np.float32(0.0)
+                v = np.float32(0.0)
+                for n, x in enumerate(xs, start=1):
+                    x = np.float32(x)
+                    m = np.float32((m * np.float32(n - 1) + x)
+                                   / np.float32(n))
+                    if n > 1:
+                        t = np.float32(x - m)
+                        v = np.float32(v * np.float32((n - 1) / n)
+                                       + np.float32(t * t)
+                                       / np.float32(n - 1))
+                return v
+
+            if debug is not None:
+                from ..io.formats import cxx_num
+
+                # "potential fusion" dump (call_functions.tcc:531-537)
+                debug.write(f"potential fusion {exp}\n")
+                for p in ("A", "W", "B"):
+                    xs = part_stats.get(p, [])
+                    debug.write(f"{p} {cxx_num(float(f32_mean(xs)))} "
+                                f"{cxx_num(float(f32_var(xs)))}\n")
             a_mean = f32_mean(part_stats["A"])
             w_mean = f32_mean(part_stats["W"])
             b_mean = f32_mean(part_stats["B"])
@@ -312,6 +341,18 @@ def find_best_call(calls: list[KmerCall], function_at_index: Callable[[int], str
             frac = abs(diff) / w_mean
             if frac < config.fusion_tolerance:
                 fi, fn = key_info["W"]
+                if debug is not None:
+                    from ..io.formats import cxx_num
+
+                    # "call fusion" dump (call_functions.tcc:546-550)
+                    debug.write(f"call fusion {debug_id} {exp}\n")
+                    debug.write(f"{cxx_num(float(a_mean))} "
+                                f"{cxx_num(float(w_mean))} "
+                                f"{cxx_num(float(b_mean))} "
+                                f"{cxx_num(float(diff))} "
+                                f"{cxx_num(float(frac))}\n")
+                    for fkey, (pfi, pfn) in key_info.items():
+                        debug.write(f"{fkey}: {pfi} {pfn}\n")
                 return BestCall(fi, fn, float(sum_scores), 0.0)
 
     # 4. per-function totals + margin scoring (tcc:567-658)

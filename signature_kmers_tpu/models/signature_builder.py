@@ -155,7 +155,10 @@ def _p2_boost_stats_np(p_s, sbe, cnt):
                 heights[:, i] = np.where(move, qnew, heights[:, i])
                 npos[:, i] = np.where(move, ni + s, ni)
     median = heights[:, 2]
-    mean = (total % 65536) / cnt                       # ushort-wrapped sum
+    # kept groups always have cnt >= 1; guard anyway so a zero-count
+    # group degrades to 0 instead of a divide warning + undefined cast
+    # (matches _finalize_stats_np's safe-count convention)
+    mean = (total % 65536) / np.maximum(cnt, 1)        # ushort-wrapped sum
     var_it = np.where(cnt > 1, var_it, 0.0)
     to16 = lambda v: (v.astype(np.int64) & 0xFFFF).astype(np.uint16)  # noqa: E731
     return to16(np.floor(mean)), to16(np.floor(median)), to16(np.floor(var_it))

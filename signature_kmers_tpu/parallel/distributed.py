@@ -106,7 +106,14 @@ def merge_shards(target) -> None:
     streams the shards together in process order (binary mode — byte
     exact for any text encoding, constant memory) and unlinks them.
     Call distributed.barrier() before AND after (writers must be done;
-    readers must wait for the merge)."""
+    readers must wait for the merge).
+
+    Requires a SHARED FILESYSTEM: rank 0 must be able to read every
+    rank's shard path (the reference's folder/merge model has the same
+    requirement — jobs write into one output directory,
+    kmers-matrix-distance-folder.cc:108-116).  Without shared storage,
+    point the output at a network mount or merge the per-rank shards
+    out of band."""
     import shutil
 
     import jax
@@ -116,7 +123,16 @@ def merge_shards(target) -> None:
     with open(target, "wb") as merged:
         for p in range(jax.process_count()):
             sp = f"{target}.shard{p:05d}"
-            with open(sp, "rb") as f:
+            try:
+                f = open(sp, "rb")
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"merge_shards: shard {sp!r} of process {p} is not "
+                    f"visible on process 0 — multi-host output merging "
+                    f"requires a shared filesystem (every rank writes "
+                    f"<output>.shardNNNNN next to the final output)."
+                ) from None
+            with f:
                 shutil.copyfileobj(f, merged)
             os.unlink(sp)
 

@@ -336,7 +336,11 @@ class ParallelFunctionCaller(FunctionCaller):
         # round's (L, W) follows its own longest sequence
         lens_all = batch.lengths
         order = None
+        # same gate as FunctionCaller.call_batch: order_constraint (were
+        # the mesh path ever to implement it) consumes positional hit
+        # order, so sorting must not reorder under it
         if (self.device_config.sort_by_length and n > 1
+                and not self.config.order_constraint
                 and np.any(lens_all[:-1] > lens_all[1:])):
             order = np.argsort(lens_all, kind="stable")
             batch = self._permute_batch(batch, order)

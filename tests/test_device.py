@@ -250,6 +250,46 @@ class TestDeviceCall:
                 == [(x.start, x.end, x.count, x.function_index)
                     for x in c.calls]
 
+    def test_long_proteins(self, corpus, golden_built, device_built):
+        """Device path vs golden at 5-10K aa (no truncation: the chunker
+        pads each chunk to its own longest sequence under CELL_BUDGET,
+        models/function_caller.py), and past 65,535 aa, where the device
+        automaton's 16-bit length guard (ops/automaton.py) must route
+        the row through the exact host fallback.  The reference handles
+        arbitrary lengths (call_functions.tcc:259-338)."""
+        b, kept = device_built
+        funcs = [b.fm.index_function_map[i]
+                 for i in sorted(b.fm.index_function_map)]
+        table = kept.to_table()
+        caller = FunctionCaller(table, funcs)
+        gcaller = GoldenFunctionCaller(golden_built.kept_kmers.get, funcs)
+
+        base = fasta.SequenceBatch.from_file(
+            corpus / "Queries" / "queries.fa")
+        s0, s1 = base.seq_str(0), base.seq_str(1)
+        long5k = (s0 * (5000 // len(s0) + 1))[:5000]
+        long10k = ((s0 + s1) * (10000 // (len(s0) + len(s1)) + 1))[:10000]
+        # >65,535 aa: trips the uint16 guard -> exact host fallback
+        giant = (s1 * (70000 // len(s1) + 1))[:70000]
+        recs = [fasta.FastaRecord("long5k", "", long5k),
+                fasta.FastaRecord("short", "", s1),
+                fasta.FastaRecord("long10k", "", long10k),
+                fasta.FastaRecord("giant66k", "", giant)]
+        batch = fasta.SequenceBatch.from_records(recs)
+        before = caller.rows_host_fallback
+        results = caller.call_batch(batch)
+        assert caller.rows_host_fallback >= before + 1  # the giant row
+        assert [r.seq_id for r in results] == [r.id for r in recs]
+        for res, rec in zip(results, recs):
+            g_calls, g_best, _ = gcaller.call_sequence(rec.seq)
+            assert res.best.function_index == g_best.function_index, res.seq_id
+            assert res.best.function == g_best.function
+            assert res.best.score == g_best.score
+            assert [(c.start, c.end, c.count, c.function_index)
+                    for c in res.calls] \
+                == [(c.start, c.end, c.count, c.function_index)
+                    for c in g_calls], res.seq_id
+
     def test_training_recall(self, corpus, device_built):
         b, kept = device_built
         funcs = [b.fm.index_function_map[i]
