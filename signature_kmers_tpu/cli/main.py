@@ -491,7 +491,36 @@ def _add_serve(sub):
 def cmd_serve(args):
     import os
 
+    from ..parallel import distributed
     from ..service.server import AnnotationService, serve
+
+    multi = distributed.initialize()
+    if multi:
+        # pod-scale service: the mesh spans every process's devices
+        # (table tp-sharded over the slice); rank 0 serves HTTP and
+        # broadcasts each dispatch, other ranks follow (service/
+        # multihost.py).  Requires --mesh; daemonizing a distributed
+        # runtime is unsupported (fork would orphan the Gloo threads).
+        import jax
+
+        if not getattr(args, "mesh", False):
+            raise SystemExit("serve: multi-host (SKT_COORDINATOR set) "
+                             "requires --mesh")
+        if args.daemonize:
+            raise SystemExit("serve: --daemonize is incompatible with "
+                             "multi-host serving")
+        from ..parallel.mesh import make_mesh
+        from ..service.multihost import follower_loop
+
+        mesh = make_mesh(tp=args.tp)
+        if jax.process_index() == 0:
+            serve(args.data_dir, host=args.host, port=args.port,
+                  mesh=mesh, multihost=True)
+        else:
+            svc = AnnotationService(args.data_dir, mesh=mesh,
+                                    multihost=True)
+            follower_loop(svc)
+        return 0
 
     def build_mesh():
         # constructed lazily and always AFTER the --daemonize fork:

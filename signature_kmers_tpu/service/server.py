@@ -66,6 +66,7 @@ class _QueryBatcher:
         self.pending: list = []
         self.running = False
         self.batches_run = 0  # observability / tests
+        self.seqs_run = 0     # total sequences across coalesced batches
         self._drain_task = None  # strong ref: bare tasks can be GC'd
 
     async def query(self, body: bytes) -> str:
@@ -106,6 +107,7 @@ class _QueryBatcher:
                     results = await loop.run_in_executor(
                         None, caller.call_batch, merged)
                     self.batches_run += 1
+                    self.seqs_run += len(merged)
                 except Exception as exc:  # noqa: BLE001 — fail all waiters
                     for _b, fut in work:
                         if not fut.done():
@@ -126,16 +128,22 @@ class _QueryBatcher:
 
 
 class AnnotationService:
-    def __init__(self, data_dir, config: Config = Config(), mesh=None):
+    def __init__(self, data_dir, config: Config = Config(), mesh=None,
+                 multihost: bool = False):
         """mesh: optional jax.sharding.Mesh — the service dispatches onto
         a dp x tp device mesh (queries dp-sharded, the signature table
         tp-sharded across chips via ParallelFunctionCaller) instead of a
         single device.  /add rebuilds the sharded arrays off-thread under
         the writer lock and swaps the snapshot atomically, so the
-        copy-on-write read path is unchanged."""
+        copy-on-write read path is unchanged.
+
+        multihost: the mesh spans jax.distributed processes — rank 0
+        serves HTTP and broadcasts every collective dispatch; other
+        ranks run service.multihost.follower_loop (see that module)."""
         self.config = config
         self.data_dir = data_dir
         self.mesh = mesh
+        self.multihost = multihost
         table, self.function_index = pipeline.load_data_dir(
             data_dir, config)
         self.engines = self._make_engines(table)
@@ -155,6 +163,15 @@ class AnnotationService:
             caller = ParallelFunctionCaller(
                 table, self.function_index, self.config.call,
                 self.config.device, mesh=self.mesh)
+            if self.multihost:
+                import jax
+
+                from .multihost import MultihostCaller
+
+                # rank 0 broadcasts each dispatch to the follower ranks;
+                # followers drive the inner caller from follower_loop
+                if jax.process_index() == 0:
+                    caller = MultihostCaller(caller)
         else:
             caller = FunctionCaller(table, self.function_index,
                                     self.config.call, self.config.device)
@@ -210,16 +227,25 @@ class AnnotationService:
                           f"{h.median}\t{h.var}\n")
         return out.getvalue()
 
-    def add_text(self, body: bytes) -> str:
+    def add_text(self, body: bytes, _broadcast: bool = True) -> str:
         """Add signature k-mers (final.kmers text lines) to the live table.
 
         Service-layer analog of the reference's POST /add
         (kser_request.cc:414-489).  The merged table is rebuilt — adds are
-        rare admin operations; reads stay on the static fast path."""
+        rare admin operations; reads stay on the static fast path.
+
+        Multihost: rank 0 broadcasts the body first so every rank
+        rebuilds the same table and re-places its shards (followers call
+        with _broadcast=False from follower_loop)."""
         import numpy as np
 
         from ..core import alphabet
         from ..table import build_table
+
+        if self.multihost and _broadcast:
+            from .multihost import broadcast_add
+
+            broadcast_add(body)
 
         his, los, v0s, v1s, v2s = [], [], [], [], []
         for line in body.decode("latin-1").splitlines():
@@ -303,12 +329,18 @@ class AnnotationService:
         return out.getvalue()
 
     def dump_sizes_text(self) -> str:
-        """ref endpoint surface: GET /dump_sizes (kser_request.cc:273-412)."""
+        """ref endpoint surface: GET /dump_sizes (kser_request.cc:273-412).
+
+        The query_* counters expose the batcher's coalescing so clients
+        (and benchmarks/service_bench.py) can observe shared dispatches:
+        mean coalesced batch size = query_seqs / query_batches."""
         return (f"kmers\t{self.table.n_items}\n"
                 f"buckets\t{self.table.n_buckets}\n"
                 f"packed_bytes\t{self.table.packed.nbytes}\n"
                 f"aux_bytes\t{self.table.aux.nbytes}\n"
-                f"functions\t{len(self.function_index)}\n")
+                f"functions\t{len(self.function_index)}\n"
+                f"query_batches\t{self.batcher.batches_run}\n"
+                f"query_seqs\t{self.batcher.seqs_run}\n")
 
     def genus_lookup_text(self, genus: str) -> str:
         """GET /genus_lookup/<genus>: resolves a genome name from the
@@ -456,8 +488,12 @@ class AnnotationService:
     def matrix_text(self, body: bytes) -> str:
         batch = fasta_io.SequenceBatch.from_records(
             fasta_io.iter_fasta(body))
+        # multihost: the matrix runs on rank 0's local device (the
+        # follower protocol carries only caller dispatches); a spanning
+        # mesh would hang the collective without followers entering it
+        use_mesh = self.mesh is not None and not self.multihost
         res = self.distance.compute([batch], mesh=self.mesh) \
-            if self.mesh is not None else self.distance.compute([batch])
+            if use_mesh else self.distance.compute([batch])
         out = io.StringIO()
         for s1, s2, count, score in res.rows(with_score=True):
             out.write(f"{s1}\t{s2}\t{count}\t{formats.cxx_num(score)}\n")
@@ -553,8 +589,9 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
 
 async def serve_async(data_dir, host="127.0.0.1", port=6100,
                       config: Config = Config(), ready_event=None,
-                      mesh=None):
-    service = AnnotationService(data_dir, config, mesh=mesh)
+                      mesh=None, multihost: bool = False):
+    service = AnnotationService(data_dir, config, mesh=mesh,
+                                multihost=multihost)
     stop_event = asyncio.Event()
     server = await asyncio.start_server(
         lambda r, w: _handle(service, stop_event, r, w), host, port)
@@ -562,8 +599,14 @@ async def serve_async(data_dir, host="127.0.0.1", port=6100,
         ready_event.set()
     async with server:
         await stop_event.wait()
+    if multihost:
+        # shut the follower ranks down with the front-end
+        from .multihost import broadcast_quit
+
+        broadcast_quit()
 
 
 def serve(data_dir, host="127.0.0.1", port=6100, config: Config = Config(),
-          mesh=None):
-    asyncio.run(serve_async(data_dir, host, port, config, mesh=mesh))
+          mesh=None, multihost: bool = False):
+    asyncio.run(serve_async(data_dir, host, port, config, mesh=mesh,
+                            multihost=multihost))

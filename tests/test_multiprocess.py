@@ -23,6 +23,7 @@ import pytest
 
 DRIVER = Path(__file__).parent / "drivers" / "mp_driver.py"
 CLI_DRIVER = Path(__file__).parent / "drivers" / "mp_cli_driver.py"
+SERVE_DRIVER = Path(__file__).parent / "drivers" / "mp_serve_driver.py"
 
 
 def _free_port() -> int:
@@ -183,6 +184,85 @@ def test_multihost_cli_mesh_local_devices(mp_data, tmp_path):
         assert p.returncode == 0, f"mesh cli driver failed:\n{out[-4000:]}"
     assert sorted(merged.read_text().splitlines()) \
         == sorted(expected.read_text().splitlines())
+
+
+def test_multihost_serve(mp_data, tmp_path):
+    """`serve --mesh` over a 2-process jax.distributed runtime (the
+    BASELINE pod-slice service): rank 0's HTTP front-end broadcasts each
+    dispatch onto the process-spanning (dp x tp) mesh, rank 1 runs the
+    follower loop.  /query results must equal the single-process
+    service's; /add must rebuild the table on BOTH ranks (the follow-up
+    /query would hang or diverge otherwise); /quit stops the fleet."""
+    import time
+    import urllib.request
+
+    data, files = mp_data
+    fasta_body = b"".join(Path(f).read_bytes() for f in files)
+
+    # single-process expectation through the service layer
+    from signature_kmers_tpu.service.server import AnnotationService
+
+    svc = AnnotationService(data)
+    expected = svc.query_text(fasta_body)
+    assert expected.strip()
+    del svc
+
+    nproc = 2
+    coord = _free_port()
+    http_port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(SERVE_DRIVER), str(pid), str(nproc),
+             str(coord), str(data), str(http_port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(nproc)
+    ]
+
+    def req(path, body=None, timeout=300):
+        url = f"http://127.0.0.1:{http_port}{path}"
+        r = urllib.request.urlopen(url, data=body, timeout=timeout)
+        return r.read().decode()
+
+    try:
+        deadline = time.time() + 300
+        up = False
+        while time.time() < deadline:
+            if any(p.poll() is not None for p in procs):
+                break  # a rank died during startup; fall through to asserts
+            try:
+                up = "signature_kmers_tpu" in req("/version", timeout=5)
+                break
+            except Exception:
+                time.sleep(1.0)
+        assert up, "serve front-end never came up"
+
+        got = req("/query", fasta_body)
+        assert sorted(got.splitlines()) == sorted(expected.splitlines())
+
+        # /add: broadcast rebuild on every rank; the follow-up query runs
+        # on the NEW sharded table on both ranks
+        added = req("/add", b"ACDEFGHI\t5\t3\t250\t250\t0\n")
+        assert added.strip() == "added 1"
+        got2 = req("/query", fasta_body)
+        assert sorted(got2.splitlines()) == sorted(expected.splitlines())
+
+        assert req("/quit").strip() == "OK"
+    finally:
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=120)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate(timeout=30)
+            outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"serve driver failed:\n{out[-4000:]}"
 
 
 def test_multihost_cli_annotate_sharding(mp_data, tmp_path):
