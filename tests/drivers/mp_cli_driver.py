@@ -42,6 +42,18 @@ def main():
         out, files = sys.argv[6], sys.argv[7:]
         rc = cli_main(["call-functions", "-d", data_dir, "-i", *files,
                        "-o", out, "--mesh", "--tp", "1"])
+    elif mode == "folder":
+        # 4-way I/O sharding of the restartable folder batch (ref:
+        # kmers-matrix-distance-folder.cc:108-116): each process takes a
+        # disjoint file slice and writes its own per-file outputs
+        input_dir, output_dir = sys.argv[6], sys.argv[7]
+        rc = cli_main(["matrix-distance-folder", data_dir, input_dir,
+                       output_dir])
+    elif mode == "merge":
+        # family work list sharded across processes (*-merge.cc:125-135)
+        base_dir, output_dir, fams = sys.argv[6], sys.argv[7], sys.argv[8:]
+        rc = cli_main(["matrix-distance-merge", data_dir, base_dir,
+                       output_dir, *fams])
     else:
         seq_dir, calls_out, uncalled_out = sys.argv[6:9]
         rc = cli_main(["annotate-seqs", data_dir, "genus-unused", seq_dir,

@@ -32,11 +32,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_call_and_build(tmp_path):
-    nproc = 2
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_distributed_call_and_build(tmp_path, nproc):
+    """2 ranks (the baseline, 2 devices each) and 4 ranks with ONE
+    device each: the (2, 2) mesh then has every device on a different
+    process, so dp AND tp BOTH span process boundaries (VERDICT r3 #5);
+    the driver asserts the sharded call and build outputs are
+    bit-identical to single-device on every rank."""
     port = _free_port()
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                        + ("2" if nproc == 2 else "1"))
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
     procs = [
@@ -60,7 +66,7 @@ def test_two_process_distributed_call_and_build(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"driver failed:\n{out[-4000:]}"
     digests = [(tmp_path / f"ok.{pid}").read_text() for pid in range(nproc)]
-    assert digests[0] == digests[1]
+    assert len(set(digests)) == 1
 
 
 @pytest.fixture(scope="module")
@@ -184,6 +190,102 @@ def test_multihost_cli_mesh_local_devices(mp_data, tmp_path):
         assert p.returncode == 0, f"mesh cli driver failed:\n{out[-4000:]}"
     assert sorted(merged.read_text().splitlines()) \
         == sorted(expected.read_text().splitlines())
+
+
+def _run_cli_ranks(args_of_pid, nproc, env_extra=None, timeout=600):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    if env_extra:
+        env.update(env_extra)
+    procs = [
+        subprocess.Popen([sys.executable, str(CLI_DRIVER), *args_of_pid(pid)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate(timeout=30)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"cli driver failed:\n{out[-4000:]}"
+
+
+def test_multihost_cli_folder_4way(mp_data, tmp_path):
+    """matrix-distance-folder under FOUR jax.distributed processes: the
+    reference's restartable batch sharding (each job takes disjoint
+    files, kmers-matrix-distance-folder.cc:108-116) in-process at 4
+    ranks — per-file outputs must be byte-identical to a single-process
+    run over the same folder."""
+    data, files = mp_data
+    from signature_kmers_tpu.cli.main import main as cli_main
+
+    in_dir = Path(files[0]).parent
+    exp_dir = tmp_path / "expected"
+    rc = cli_main(["matrix-distance-folder", str(data), str(in_dir),
+                   str(exp_dir)])
+    assert rc == 0
+    exp = {p.name: p.read_text() for p in exp_dir.iterdir()}
+    assert exp
+
+    nproc = 4
+    port = _free_port()
+    out_dir = tmp_path / "mp_out"
+    _run_cli_ranks(
+        lambda pid: ["folder", str(pid), str(nproc), str(port), str(data),
+                     str(in_dir), str(out_dir)], nproc)
+    got = {p.name: p.read_text() for p in out_dir.iterdir()}
+    assert got == exp
+
+
+def test_multihost_cli_merge_4way(mp_data, tmp_path):
+    """matrix-distance-merge under FOUR processes: the family work list
+    is sharded round-robin across ranks (*-merge.cc:125-135); per-family
+    outputs must match the single-process run."""
+    data, files = mp_data
+    from signature_kmers_tpu.cli.main import main as cli_main
+
+    # genus-dir structure: two genus dirs, families drawn from the query
+    # files (each family file present in both genera)
+    base = tmp_path / "base"
+    fams = []
+    for gi, g in enumerate(("g1", "g2")):
+        gd = base / g
+        (gd / "fasta_by_function").mkdir(parents=True)
+        (gd / "local.family.defs").write_text("present\n")
+        for fi, f in enumerate(files):
+            fam = f"fam{fi}"
+            # give the two genera different member subsets
+            recs = Path(f).read_text().split(">")
+            recs = [r for r in recs if r.strip()]
+            part = recs[gi::2] or recs[:1]
+            (gd / "fasta_by_function" / fam).write_text(
+                "".join(">" + r for r in part))
+            if fam not in fams:
+                fams.append(fam)
+
+    exp_dir = tmp_path / "exp_merge"
+    rc = cli_main(["matrix-distance-merge", str(data), str(base),
+                   str(exp_dir), *fams])
+    assert rc == 0
+    exp = {p.name: p.read_text() for p in exp_dir.iterdir()}
+
+    nproc = 4
+    port = _free_port()
+    out_dir = tmp_path / "mp_merge"
+    _run_cli_ranks(
+        lambda pid: ["merge", str(pid), str(nproc), str(port), str(data),
+                     str(base), str(out_dir), *fams], nproc)
+    got = {p.name: p.read_text() for p in out_dir.iterdir()}
+    assert got == exp
 
 
 def test_multihost_serve(mp_data, tmp_path):
