@@ -55,14 +55,33 @@ def run_build(
     perfect_hash_data=None,
     otu_file=None,
 ) -> BuildResult:
+    import contextlib
+    import os
+    import sys
+    import time
+
+    if os.environ.get("SKT_BUILD_TIMING"):
+        @contextlib.contextmanager
+        def _phase(name):
+            t0 = time.perf_counter()
+            yield
+            print(f"[build-timing] {name}: "
+                  f"{time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+    else:
+        @contextlib.contextmanager
+        def _phase(name):
+            yield
+
     builder = SignatureBuilder(config.build, kept_log, use_device=use_device)
 
     definition_files = paths.populate_path_list(definition_dirs)
     fasta_files = paths.populate_path_list(fasta_dirs)
     fasta_keep_files = paths.populate_path_list(fasta_keep_dirs)
 
-    builder.load_function_data(list(good_functions), list(good_roles),
-                               definition_files)
+    with _phase("load_function_data"):
+        builder.load_function_data(list(good_functions), list(good_roles),
+                                   definition_files)
     deleted = paths.load_set_from_file(deleted_fids_file)
     ignored = paths.load_set_from_file(ignored_functions_file)
 
@@ -70,9 +89,11 @@ def run_build(
         kmer_data_dir = Path(kmer_data_dir)
         paths.ensure_directory(kmer_data_dir)
 
-    builder.load_fasta(fasta_files, False, deleted)
-    builder.load_fasta(fasta_keep_files, True, deleted)
-    builder.process_kept_functions(ignored)
+    with _phase("load_fasta"):
+        builder.load_fasta(fasta_files, False, deleted)
+        builder.load_fasta(fasta_keep_files, True, deleted)
+    with _phase("process_kept_functions"):
+        builder.process_kept_functions(ignored)
 
     function_index = [builder.fm.index_function_map[i]
                       for i in sorted(builder.fm.index_function_map)]
@@ -93,8 +114,10 @@ def run_build(
 
     ckpt_dir = (kmer_data_dir / "build.ckpt.d"
                 if (checkpoint and kmer_data_dir) else None)
-    builder.extract_kmers(deleted, checkpoint_dir=ckpt_dir)
-    kept = builder.process_kmers(mesh=mesh)
+    with _phase("extract_kmers"):
+        builder.extract_kmers(deleted, checkpoint_dir=ckpt_dir)
+    with _phase("process_kmers(select+fetch)"):
+        kept = builder.process_kmers(mesh=mesh)
 
     if kmer_data_dir:
         # distinct_functions table (ref: kmers-build-signatures.cc:230-236)
@@ -102,16 +125,61 @@ def run_build(
                 for fi, cnt in sorted(builder.stats.distinct_functions.items())]
         formats.write_lines(kmer_data_dir / "distinct_functions", rows)
 
+    # overlap the final.kmers text dump with the table placement — the
+    # reference does the same with a std::thread (kmers-build-signatures
+    # .cc:198-222 runs the dump while the main thread continues); the
+    # native writer and the native placement both release the GIL
+    fk_thread = None
     if final_kmers and kmer_data_dir:
+        import threading
+
         fk = Path(final_kmers)
         if not fk.is_absolute():
             fk = kmer_data_dir / fk
-        formats.write_final_kmers(fk, kept.hi, kept.lo, kept.avg_from_end,
-                                  kept.function_index)
 
-    table = kept.to_table(config.table)
+        def _write_fk():
+            with _phase("final.kmers write (overlapped)"):
+                formats.write_final_kmers(
+                    fk, kept.hi, kept.lo, kept.avg_from_end,
+                    kept.function_index)
+
+        fk_thread = threading.Thread(target=_write_fk, daemon=True)
+        fk_thread.start()
+
+    with _phase("table build (placement)"):
+        table = kept.to_table(config.table)
+    save_thread = None
     if write_table and kmer_data_dir:
-        table.save(kmer_data_dir / "kmer_data")
+        from ..table.wide_table import WideKmerTable
+
+        entries = None
+        if isinstance(table, WideKmerTable):
+            # the compact store is exactly the entry arrays we still
+            # hold — skip occupied()'s inverse-permute + 45M lexsort
+            v0, v1, v2 = KmerTable.pack_values(
+                kept.avg_from_end, kept.function_index, kept.mean,
+                kept.median, kept.var)
+            entries = (kept.hi, kept.lo, v0.astype(np.uint32),
+                       v1.astype(np.uint32), v2.astype(np.uint32))
+
+        def _save():
+            with _phase("table save (overlapped)"):
+                if entries is not None:
+                    table.save(kmer_data_dir / "kmer_data",
+                               entries=entries)
+                else:
+                    table.save(kmer_data_dir / "kmer_data")
+
+        if recall:
+            # disk write overlaps the recall pass (device/link-bound)
+            import threading
+
+            save_thread = threading.Thread(target=_save, daemon=True)
+            save_thread.start()
+        else:
+            _save()
+    if fk_thread is not None:
+        fk_thread.join()
 
     def _resolve(p):
         p = Path(p)
@@ -146,7 +214,11 @@ def run_build(
             kept.function_index, kept.mean, kept.median, kept.var)
 
     if recall and kmer_data_dir:
-        _run_recall(builder, table, function_index, kmer_data_dir, config)
+        with _phase("recall"):
+            _run_recall(builder, table, function_index, kmer_data_dir,
+                        config)
+    if save_thread is not None:
+        save_thread.join()
 
     return BuildResult(builder, kept, table, function_index,
                        kmer_data_dir)
@@ -159,8 +231,17 @@ def _run_recall(builder: SignatureBuilder, table: KmerTableProtocol,
     per-file mismatch reports (ref: kmers-build-signatures.cc:240-349)."""
     report_dir = kmer_data_dir / "recall.report.d"
     paths.ensure_directory(report_dir)
+    import dataclasses
+
+    # production-size device chunks: recall re-calls the whole training
+    # set, and each dispatch pays the link RTT — 256-seq chunks cost
+    # ~1200 round trips at 300K seqs (measured 66.7 s of the 300K
+    # build); 4096-seq chunks cut that 16x.  Results are chunk-size
+    # invariant (tested).
+    dc = dataclasses.replace(config.device,
+                             call_batch=max(config.device.call_batch, 4096))
     caller = FunctionCaller(table, function_index, config.call,
-                            config.device, use_device=builder.use_device)
+                            dc, use_device=builder.use_device)
     for f in builder.all_fasta_files:
         lines = []
         for res in caller.call_file(f):
