@@ -168,6 +168,12 @@ def main():
                                               int(n_req * 0.99))]) * 1e3, 1),
             "coalesced_batches": batches,
             "mean_coalesced_seqs": round(seqs / max(1, batches), 1),
+            # cumulative wall ms inside call_batch across the run; with
+            # overlapped dispatch (query_depth 2) this can exceed elapsed
+            "call_ms": round(float(sizes1.get("query_call_ms", 0))
+                             - float(sizes0.get("query_call_ms", 0)), 1),
+            "dispatch_depth": int(sizes1.get("query_depth", 1)),
+            "elapsed_s": round(elapsed, 1),
         }
         print(json.dumps(result), flush=True)
     finally:

@@ -789,7 +789,16 @@ class SignatureBuilder:
         if not chunks:
             return empty()
         if mesh is not None and self.config.p2_stats:
-            mesh = None  # p2 fidelity mode is host-only (see _select_from_seqs)
+            # p2 fidelity mode is host-only: the P-square recurrence is
+            # specified in float64 (boost uses double) and TPUs have no
+            # native f64, so a device twin could not honor the bit-compat
+            # contract (see _p2_boost_stats_np / FIDELITY.md).
+            import logging
+            logging.getLogger(__name__).warning(
+                "--p2-stats forces the host selection path; the mesh is "
+                "ignored for this build (P-square fidelity requires "
+                "float64, unavailable on TPU)")
+            mesh = None
         if mesh is not None:
             cat = self._concat_chunks(chunks)
             if cat is None:

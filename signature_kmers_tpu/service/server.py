@@ -2,8 +2,9 @@
 
 Service-layer equivalent of the reference's (vestigial) kmers-server
 (endpoint surface modeled on kser_request.cc:273-489).  Front-end is
-asyncio HTTP; requests are funneled through a single dispatch queue so
-concurrent clients share device batches.
+asyncio HTTP; requests are funneled through a shared dispatch queue so
+concurrent clients share device batches (up to two batches in flight —
+see _QueryBatcher).
 
 Endpoints (surface modeled on kser_request.cc:273-489):
   GET  /version               -> framework + table info
@@ -55,31 +56,50 @@ class _Engines:
 class _QueryBatcher:
     """Coalesces concurrent POST /query bodies into shared device batches.
 
-    While one device batch is on the chip, newly arriving requests queue
+    While a device batch is on the chip, newly arriving requests queue
     up and are merged into the NEXT batch — many small concurrent
     requests ride one dispatch instead of serializing (the in-process
     replacement for the reference server's request threadpool,
-    kmer_request_server.cc:56-126, recast for a batched device)."""
+    kmer_request_server.cc:56-126, recast for a batched device).
+
+    Up to `depth` batches are in flight at once (depth 2 by default):
+    while batch N's D2H fetch + host scoring runs, batch N+1's packing
+    and H2D upload proceeds on a second executor thread, hiding the
+    link round-trip.  Multihost mode pins depth to 1 — every collective
+    dispatch is broadcast to follower ranks and must execute in the
+    same order on every process, so overlap is not allowed there."""
 
     def __init__(self, service: "AnnotationService"):
         self.service = service
+        import os
+
         self.pending: list = []
-        self.running = False
+        self.depth = 1 if service.multihost else max(
+            1, int(os.environ.get("SKT_SERVE_DEPTH", "2")))
+        self.inflight = 0
         self.batches_run = 0  # observability / tests
         self.seqs_run = 0     # total sequences across coalesced batches
-        self._drain_task = None  # strong ref: bare tasks can be GC'd
+        self.call_ms = 0.0    # cumulative wall ms inside call_batch
+        self._drain_tasks: set = set()  # strong refs: bare tasks can be GC'd
 
     async def query(self, body: bytes) -> str:
         loop = asyncio.get_event_loop()
         batch = fasta_io.SequenceBatch.from_records(fasta_io.iter_fasta(body))
         fut = loop.create_future()
         self.pending.append((batch, fut))
-        if not self.running:
-            self.running = True
-            self._drain_task = loop.create_task(self._drain())
+        self._kick(loop)
         return await fut
 
+    def _kick(self, loop):
+        if self.pending and self.inflight < self.depth:
+            self.inflight += 1
+            t = loop.create_task(self._drain())
+            self._drain_tasks.add(t)
+            t.add_done_callback(self._drain_tasks.discard)
+
     async def _drain(self):
+        import time
+
         import numpy as np
 
         loop = asyncio.get_event_loop()
@@ -104,8 +124,10 @@ class _QueryBatcher:
                     # lands mid-batch swaps the attribute for the NEXT
                     # batch while this one finishes on its old table
                     caller = self.service.engines.caller
+                    t0 = time.perf_counter()
                     results = await loop.run_in_executor(
                         None, caller.call_batch, merged)
+                    self.call_ms += (time.perf_counter() - t0) * 1e3
                     self.batches_run += 1
                     self.seqs_run += len(merged)
                 except Exception as exc:  # noqa: BLE001 — fail all waiters
@@ -124,7 +146,11 @@ class _QueryBatcher:
                     if not fut.done():
                         fut.set_result(out.getvalue())
         finally:
-            self.running = False
+            self.inflight -= 1
+            # requests that arrived while this worker was exiting its
+            # last executor await would otherwise strand until the next
+            # query() — re-kick so they get a worker immediately
+            self._kick(loop)
 
 
 class AnnotationService:
@@ -340,7 +366,9 @@ class AnnotationService:
                 f"aux_bytes\t{self.table.aux.nbytes}\n"
                 f"functions\t{len(self.function_index)}\n"
                 f"query_batches\t{self.batcher.batches_run}\n"
-                f"query_seqs\t{self.batcher.seqs_run}\n")
+                f"query_seqs\t{self.batcher.seqs_run}\n"
+                f"query_call_ms\t{self.batcher.call_ms:.1f}\n"
+                f"query_depth\t{self.batcher.depth}\n")
 
     def genus_lookup_text(self, genus: str) -> str:
         """GET /genus_lookup/<genus>: resolves a genome name from the

@@ -325,6 +325,59 @@ class TestQueryBatcher:
         # they shared one device batch
         assert svc.batcher.batches_run == 1
 
+    def test_overlapped_dispatch_depth2(self, data_dir):
+        """Requests arriving while one batch is on the device are
+        dispatched by a SECOND worker concurrently (depth 2); multihost
+        pins depth 1 (collective order must match across ranks)."""
+        import asyncio
+        import threading
+        import time
+
+        from signature_kmers_tpu.service.server import AnnotationService
+        from tests.fixtures.gen_corpus import FUNCTIONS, _rand_prot
+        import random
+
+        svc = AnnotationService(str(data_dir))
+        assert svc.batcher.depth == 2
+        caller = svc.engines.caller
+        orig = caller.call_batch
+        state = {"cur": 0, "max": 0}
+        lock = threading.Lock()
+
+        def slow(batch, *a, **k):
+            with lock:
+                state["cur"] += 1
+                state["max"] = max(state["max"], state["cur"])
+            time.sleep(0.3)
+            try:
+                return orig(batch, *a, **k)
+            finally:
+                with lock:
+                    state["cur"] -= 1
+
+        caller.call_batch = slow
+        r = random.Random(20250821)
+        seqs = [_rand_prot(r, 220) for _ in range(3)]
+
+        async def run():
+            t1 = asyncio.ensure_future(
+                svc.batcher.query(f">a\n{seqs[0]}\n".encode()))
+            await asyncio.sleep(0.1)  # t1 is now inside the executor
+            t2 = asyncio.ensure_future(
+                svc.batcher.query(f">b\n{seqs[1]}\n".encode()))
+            t3 = asyncio.ensure_future(
+                svc.batcher.query(f">c\n{seqs[2]}\n".encode()))
+            return await asyncio.gather(t1, t2, t3)
+
+        outs = asyncio.run(run())
+        assert [o.split("\t")[0] for o in outs] == ["a", "b", "c"]
+        # t2/t3 coalesced into one batch dispatched while t1 was in
+        # flight: two dispatches total, overlapping on the executor
+        assert svc.batcher.batches_run == 2
+        assert state["max"] == 2
+        assert svc.batcher.call_ms > 0
+        assert FUNCTIONS  # fixture sanity (corpus functions exist)
+
 
 class TestKmerDistribution:
     def test_write_kmer_distribution(self, data_dir, tmp_path):
