@@ -246,6 +246,33 @@ def main():
                 print(f"e2e build ({mode}) rep {rep}: FAILED/timeout",
                       file=sys.stderr)
 
+    # --- service throughput (BASELINE config #5: streaming annotation
+    # service).  Runs the real serve CLI + N concurrent HTTP clients via
+    # benchmarks/service_bench.py in a subprocess (its own corpus +
+    # table, cached under /tmp) and merges qps/latency into the JSON so
+    # the round-over-round record carries the service as a number.
+    service = {}
+    if dev.platform != "cpu" and not os.environ.get(
+            "SKT_BENCH_SKIP_SERVICE"):
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(bench_dir, "service_bench.py"),
+                 "16", "64", "15"],
+                timeout=900, capture_output=True, text=True)
+            for line in reversed(r.stdout.splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    service = json.loads(line)
+                    break
+            print(f"service bench: {service.get('qps', 0)} qps, "
+                  f"p50 {service.get('lat_p50_ms', 0)} ms, "
+                  f"p99 {service.get('lat_p99_ms', 0)} ms, "
+                  f"mean coalesced {service.get('mean_coalesced_seqs', 0)} "
+                  f"seqs/batch", file=sys.stderr)
+        except Exception as e:
+            print(f"service bench failed: {e!r}", file=sys.stderr)
+
     if dev.platform == "cpu":
         # fallback mode: scaled-down workload so the bench completes
         table, cpu_table, bdz, function_index, codes = build_workload(
@@ -505,6 +532,13 @@ def main():
         if build_300k["recall"] else 0.0,
         "e2e_build_reps": build_reps,
         "e2e_build_n_seqs": build_n_seqs,
+        # streaming service (BASELINE config #5): real serve CLI under
+        # 16 concurrent clients x 64-seq requests (service_bench.py)
+        "service_qps": service.get("qps", 0.0),
+        "service_seqs_per_s": service.get("seqs_per_s", 0.0),
+        "service_p50_ms": service.get("lat_p50_ms", 0.0),
+        "service_p99_ms": service.get("lat_p99_ms", 0.0),
+        "service_coalesced_seqs": service.get("mean_coalesced_seqs", 0.0),
         # fraction of sequences re-called on the exact host path
         # (REC_CAP overflow / packing guards, ops/automaton.py) — the
         # device numbers above are honest only while this stays ~0

@@ -3,7 +3,7 @@
 Service-layer equivalent of the reference's (vestigial) kmers-server
 (endpoint surface modeled on kser_request.cc:273-489).  Front-end is
 asyncio HTTP; requests are funneled through a shared dispatch queue so
-concurrent clients share device batches (up to two batches in flight —
+concurrent clients share device batches (up to four batches in flight —
 see _QueryBatcher).
 
 Endpoints (surface modeled on kser_request.cc:273-489):
@@ -62,20 +62,26 @@ class _QueryBatcher:
     replacement for the reference server's request threadpool,
     kmer_request_server.cc:56-126, recast for a batched device).
 
-    Up to `depth` batches are in flight at once (depth 2 by default):
-    while batch N's D2H fetch + host scoring runs, batch N+1's packing
-    and H2D upload proceeds on a second executor thread, hiding the
-    link round-trip.  Multihost mode pins depth to 1 — every collective
-    dispatch is broadcast to follower ranks and must execute in the
-    same order on every process, so overlap is not allowed there."""
+    Up to `depth` batches are in flight at once (default 4, env
+    SKT_SERVE_DEPTH): while batch N's D2H fetch + host scoring runs,
+    batch N+1's packing and H2D upload proceeds on another executor
+    thread, hiding the link round-trip.  Multihost mode pins depth to
+    1 — every collective dispatch is broadcast to follower ranks and
+    must execute in the same order on every process, so overlap is not
+    allowed there."""
 
     def __init__(self, service: "AnnotationService"):
         self.service = service
         import os
 
         self.pending: list = []
+        # measured on the chip (docs/PERF.md round-4 service table):
+        # 16 clients x 64-seq requests, same link/day: depth 1 -> 37.9
+        # qps (p50 219 ms), 2 -> 109.1, 3 -> 126.1, 4 -> 133.8 qps
+        # (p50 93.9 ms); diminishing past 4 and it matches the caller's
+        # internal chunk-pipeline depth
         self.depth = 1 if service.multihost else max(
-            1, int(os.environ.get("SKT_SERVE_DEPTH", "2")))
+            1, int(os.environ.get("SKT_SERVE_DEPTH", "4")))
         self.inflight = 0
         self.batches_run = 0  # observability / tests
         self.seqs_run = 0     # total sequences across coalesced batches

@@ -325,10 +325,11 @@ class TestQueryBatcher:
         # they shared one device batch
         assert svc.batcher.batches_run == 1
 
-    def test_overlapped_dispatch_depth2(self, data_dir):
+    def test_overlapped_dispatch(self, data_dir):
         """Requests arriving while one batch is on the device are
-        dispatched by a SECOND worker concurrently (depth 2); multihost
-        pins depth 1 (collective order must match across ranks)."""
+        dispatched by a SECOND worker concurrently (depth > 1);
+        multihost pins depth 1 (collective order must match across
+        ranks)."""
         import asyncio
         import threading
         import time
@@ -338,7 +339,7 @@ class TestQueryBatcher:
         import random
 
         svc = AnnotationService(str(data_dir))
-        assert svc.batcher.depth == 2
+        assert svc.batcher.depth == 4  # default; SKT_SERVE_DEPTH overrides
         caller = svc.engines.caller
         orig = caller.call_batch
         state = {"cur": 0, "max": 0}
