@@ -346,6 +346,12 @@ def test_multihost_serve(mp_data, tmp_path):
         got = req("/query", fasta_body)
         assert sorted(got.splitlines()) == sorted(expected.splitlines())
 
+        # multihost must pin the batcher to depth 1: overlapped dispatch
+        # would reorder broadcast collectives across ranks
+        sizes = dict(line.split("\t")
+                     for line in req("/dump_sizes").splitlines())
+        assert sizes["query_depth"] == "1"
+
         # /add: broadcast rebuild on every rank; the follow-up query runs
         # on the NEW sharded table on both ranks
         added = req("/add", b"ACDEFGHI\t5\t3\t250\t250\t0\n")
