@@ -126,6 +126,7 @@ def main():
 
         lat_lock = threading.Lock()
         latencies = []
+        client_errors = []
         stop_at = time.time() + seconds
 
         def client(cid):
@@ -133,9 +134,14 @@ def main():
             while time.time() < stop_at:
                 body = bodies[rng.integers(0, len(bodies))]
                 t0 = time.perf_counter()
-                out = req(port, "/query", body)
+                try:
+                    out = req(port, "/query", body)
+                    assert out.count("\n") == seqs_per_req, out[:200]
+                except Exception as e:  # noqa: BLE001 — report, don't die
+                    with lat_lock:
+                        client_errors.append(f"client {cid}: {e!r}")
+                    return  # a dead thread deflates qps: flag it below
                 dt = time.perf_counter() - t0
-                assert out.count("\n") == seqs_per_req, out[:200]
                 with lat_lock:
                     latencies.append(dt)
 
@@ -152,8 +158,15 @@ def main():
                       req(port, "/dump_sizes").splitlines())
         req(port, "/quit")
 
+        for msg in client_errors:
+            print(f"CLIENT ERROR: {msg}", file=sys.stderr)
         lat = np.sort(np.asarray(latencies))
         n_req = lat.shape[0]
+        if n_req == 0:
+            print(json.dumps({"error": "no requests completed",
+                              "client_errors": client_errors[:5]}),
+                  flush=True)
+            return
         batches = int(sizes1["query_batches"]) - int(sizes0["query_batches"])
         seqs = int(sizes1["query_seqs"]) - int(sizes0["query_seqs"])
         result = {
@@ -174,6 +187,8 @@ def main():
                              - float(sizes0.get("query_call_ms", 0)), 1),
             "dispatch_depth": int(sizes1.get("query_depth", 1)),
             "elapsed_s": round(elapsed, 1),
+            # clients that died mid-run silently deflate qps — flag them
+            "dead_clients": len(client_errors),
         }
         print(json.dumps(result), flush=True)
     finally:

@@ -513,7 +513,27 @@ def cmd_serve(args):
         from ..service.multihost import follower_loop
 
         mesh = make_mesh(tp=args.tp)
-        if jax.process_index() == 0:
+        rank0 = jax.process_index() == 0
+        if args.no_listen or (rank0 and args.kmer_family_distribution):
+            # profiling / startup-artifact path: --no-listen loads on
+            # every rank and exits without serving (nobody enters the
+            # broadcast loop); the distribution write is rank 0's,
+            # host-side (mirrors the single-host path below)
+            svc = AnnotationService(args.data_dir, mesh=mesh,
+                                    multihost=True)
+            if rank0 and args.kmer_family_distribution:
+                svc.write_kmer_distribution(args.kmer_family_distribution)
+                print("write distribution to "
+                      f"{args.kmer_family_distribution}", file=sys.stderr)
+            if args.no_listen:
+                if rank0:
+                    print(f"loaded {svc.table.n_items} kmers; "
+                          "not listening", file=sys.stderr)
+                return 0
+            del svc
+        if rank0:
+            if args.pid_file:
+                Path(args.pid_file).write_text(f"{os.getpid()}\n")
             serve(args.data_dir, host=args.host, port=args.port,
                   mesh=mesh, multihost=True)
         else:

@@ -93,7 +93,14 @@ class FunctionCaller:
             if config.ignore_hypothetical:
                 # the reference exits here (call_functions.tcc:269-274)
                 raise ValueError("Cannot find hypothetical protein index")
+        import threading
+
         self._gather_jit = {}
+        # call_batch is invoked concurrently from executor threads (the
+        # service's overlapped dispatch): serialize jit-cache fills — a
+        # double miss would device_put the multi-hundred-MB table twice
+        self._cache_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         # device-automaton fallback accounting: rows processed vs rows
         # re-called on the host (REC_CAP overflow / 16-bit packing guard,
         # ops/automaton.py).  An adversarial corpus (many function
@@ -127,7 +134,11 @@ class FunctionCaller:
         windows retained); callers pass the 16-bucketed value (16 = automaton UNROLL)."""
         W = L if W is None else W
         key = ("full", L, W)
-        if key not in self._gather_jit:
+        if key in self._gather_jit:
+            return self._gather_jit[key]
+        with self._cache_lock:
+            if key in self._gather_jit:
+                return self._gather_jit[key]
             import jax
 
             from ..ops import automaton as automaton_ops
@@ -207,14 +218,17 @@ class FunctionCaller:
         """Per-function multipart flags and lexicographic ranks for the
         native best-call scorer (cached)."""
         if not hasattr(self, "_fmeta"):
-            names = self.function_index
-            is_multipart = np.asarray(
-                [" / " in n for n in names], dtype=np.uint8)
-            order = sorted(range(len(names)), key=lambda i: names[i])
-            lex_rank = np.empty(len(names), dtype=np.int32)
-            for r, i in enumerate(order):
-                lex_rank[i] = r
-            self._fmeta = (is_multipart, lex_rank)
+            with self._cache_lock:
+                if not hasattr(self, "_fmeta"):
+                    names = self.function_index
+                    is_multipart = np.asarray(
+                        [" / " in n for n in names], dtype=np.uint8)
+                    order = sorted(range(len(names)),
+                                   key=lambda i: names[i])
+                    lex_rank = np.empty(len(names), dtype=np.int32)
+                    for r, i in enumerate(order):
+                        lex_rank[i] = r
+                    self._fmeta = (is_multipart, lex_rank)
         return self._fmeta
 
     def _native_best_call(self, valid, out, B, overflow):
@@ -311,7 +325,8 @@ class FunctionCaller:
         n_distinct_l = n_distinct.tolist()
         ids = sub.ids
 
-        self.rows_processed += B
+        with self._stats_lock:
+            self.rows_processed += B
         results: list[SequenceResult] = [None] * B
         slow_rows = []
         for i in range(B):
@@ -340,7 +355,8 @@ class FunctionCaller:
                                       self.config)
             results[i] = SequenceResult(ids[i], true_lens_l[i], calls, best)
 
-        self.rows_host_fallback += len(slow_rows)
+        with self._stats_lock:
+            self.rows_host_fallback += len(slow_rows)
         for i in slow_rows:
             # exact host fallback for flush-heavy sequences (rare)
             seq = sub.codes[sub.offsets[i]:sub.offsets[i + 1]]
@@ -367,7 +383,11 @@ class FunctionCaller:
         """jit gather step.  The table arrays are passed as ARGUMENTS, not
         closures — closing over them would embed hundreds of MB as
         compile-time constants."""
-        if with_aux not in self._gather_jit:
+        if with_aux in self._gather_jit:
+            return self._gather_jit[with_aux]
+        with self._cache_lock:
+            if with_aux in self._gather_jit:
+                return self._gather_jit[with_aux]
             import jax
 
             from ..ops import probe as probe_ops

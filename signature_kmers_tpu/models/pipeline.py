@@ -24,6 +24,33 @@ from ..table.kmer_table import KmerTable
 from ..utils import paths
 
 
+class _BgTask:
+    """Overlapped artifact write on a background thread.
+
+    join() re-raises the thread's exception — a silent ENOSPC in an
+    overlapped final.kmers/table write must fail the build, not let the
+    CLI exit 0 with a missing or truncated artifact."""
+
+    def __init__(self, fn, name: str):
+        import threading
+
+        self._exc: BaseException | None = None
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                self._exc = e
+
+        self._t = threading.Thread(target=run, name=name, daemon=True)
+        self._t.start()
+
+    def join(self, reraise: bool = True) -> None:
+        self._t.join()
+        if reraise and self._exc is not None:
+            raise self._exc
+
+
 @dataclasses.dataclass
 class BuildResult:
     builder: SignatureBuilder
@@ -131,8 +158,6 @@ def run_build(
     # native writer and the native placement both release the GIL
     fk_thread = None
     if final_kmers and kmer_data_dir:
-        import threading
-
         fk = Path(final_kmers)
         if not fk.is_absolute():
             fk = kmer_data_dir / fk
@@ -143,82 +168,88 @@ def run_build(
                     fk, kept.hi, kept.lo, kept.avg_from_end,
                     kept.function_index)
 
-        fk_thread = threading.Thread(target=_write_fk, daemon=True)
-        fk_thread.start()
+        fk_thread = _BgTask(_write_fk, "final-kmers-write")
 
-    with _phase("table build (placement)"):
-        table = kept.to_table(config.table)
     save_thread = None
-    if write_table and kmer_data_dir:
-        from ..table.wide_table import WideKmerTable
+    try:
+        with _phase("table build (placement)"):
+            table = kept.to_table(config.table)
+        if write_table and kmer_data_dir:
+            from ..table.wide_table import WideKmerTable
 
-        entries = None
-        if isinstance(table, WideKmerTable):
-            # the compact store is exactly the entry arrays we still
-            # hold — skip occupied()'s inverse-permute + 45M lexsort
-            v0, v1, v2 = KmerTable.pack_values(
-                kept.avg_from_end, kept.function_index, kept.mean,
-                kept.median, kept.var)
-            entries = (kept.hi, kept.lo, v0.astype(np.uint32),
-                       v1.astype(np.uint32), v2.astype(np.uint32))
+            entries = None
+            if isinstance(table, WideKmerTable):
+                # the compact store is exactly the entry arrays we still
+                # hold — skip occupied()'s inverse-permute + 45M lexsort
+                v0, v1, v2 = KmerTable.pack_values(
+                    kept.avg_from_end, kept.function_index, kept.mean,
+                    kept.median, kept.var)
+                entries = (kept.hi, kept.lo, v0.astype(np.uint32),
+                           v1.astype(np.uint32), v2.astype(np.uint32))
 
-        def _save():
-            with _phase("table save (overlapped)"):
-                if entries is not None:
-                    table.save(kmer_data_dir / "kmer_data",
-                               entries=entries)
-                else:
-                    table.save(kmer_data_dir / "kmer_data")
+            def _save():
+                with _phase("table save (overlapped)"):
+                    if entries is not None:
+                        table.save(kmer_data_dir / "kmer_data",
+                                   entries=entries)
+                    else:
+                        table.save(kmer_data_dir / "kmer_data")
 
-        if recall:
-            # disk write overlaps the recall pass (device/link-bound)
-            import threading
+            if recall:
+                # disk write overlaps the recall pass (device/link-bound)
+                save_thread = _BgTask(_save, "table-save")
+            else:
+                _save()
+        if fk_thread is not None:
+            fk_thread.join()  # re-raises a failed final.kmers write
 
-            save_thread = threading.Thread(target=_save, daemon=True)
-            save_thread.start()
-        else:
-            _save()
-    if fk_thread is not None:
-        fk_thread.join()
+        def _resolve(p):
+            p = Path(p)
+            if not p.is_absolute() and kmer_data_dir:
+                p = kmer_data_dir / p
+            return p
 
-    def _resolve(p):
-        p = Path(p)
-        if not p.is_absolute() and kmer_data_dir:
-            p = kmer_data_dir / p
-        return p
+        if nudb_file:
+            # real NuDB .dat/.key pair, fetchable by the reference
+            # binaries (ref: kmers-build-signatures.cc:351-355,
+            # nudb_kmer_db.h:55-63)
+            from ..interop import cmph as cmph_io, nudb as nudb_io
 
-    if nudb_file:
-        # real NuDB .dat/.key pair, fetchable by the reference binaries
-        # (ref: kmers-build-signatures.cc:351-355, nudb_kmer_db.h:55-63)
-        from ..interop import cmph as cmph_io, nudb as nudb_io
+            keys = cmph_io.keys_from_packed(kept.hi, kept.lo)
+            vals = np.zeros(len(kept), dtype=cmph_io.STORED_KMER_DTYPE)
+            vals["avg_from_end"] = kept.avg_from_end
+            vals["function_index"] = kept.function_index
+            vals["mean"] = kept.mean
+            vals["median"] = kept.median
+            vals["var"] = kept.var
+            nudb_io.write_nudb(_resolve(nudb_file), keys,
+                               vals.view(np.uint8).reshape(len(kept), -1))
+        if perfect_hash:
+            # real CMPH BDZ .mph + flat StoredKmerData array
+            # (ref: kmers-build-signatures.cc:253-264, perfect_hash.h:11-69)
+            from ..interop import cmph as cmph_io
 
-        keys = cmph_io.keys_from_packed(kept.hi, kept.lo)
-        vals = np.zeros(len(kept), dtype=cmph_io.STORED_KMER_DTYPE)
-        vals["avg_from_end"] = kept.avg_from_end
-        vals["function_index"] = kept.function_index
-        vals["mean"] = kept.mean
-        vals["median"] = kept.median
-        vals["var"] = kept.var
-        nudb_io.write_nudb(_resolve(nudb_file), keys,
-                           vals.view(np.uint8).reshape(len(kept), -1))
-    if perfect_hash:
-        # real CMPH BDZ .mph + flat StoredKmerData array
-        # (ref: kmers-build-signatures.cc:253-264, perfect_hash.h:11-69)
-        from ..interop import cmph as cmph_io
+            mph_path = _resolve(perfect_hash)
+            dat_path = (_resolve(perfect_hash_data) if perfect_hash_data
+                        else Path(str(mph_path) + ".data"))
+            cmph_io.write_cmph_files(
+                mph_path, dat_path, kept.hi, kept.lo, kept.avg_from_end,
+                kept.function_index, kept.mean, kept.median, kept.var)
 
-        mph_path = _resolve(perfect_hash)
-        dat_path = (_resolve(perfect_hash_data) if perfect_hash_data
-                    else Path(str(mph_path) + ".data"))
-        cmph_io.write_cmph_files(
-            mph_path, dat_path, kept.hi, kept.lo, kept.avg_from_end,
-            kept.function_index, kept.mean, kept.median, kept.var)
-
-    if recall and kmer_data_dir:
-        with _phase("recall"):
-            _run_recall(builder, table, function_index, kmer_data_dir,
-                        config)
-    if save_thread is not None:
-        save_thread.join()
+        if recall and kmer_data_dir:
+            with _phase("recall"):
+                _run_recall(builder, table, function_index, kmer_data_dir,
+                            config)
+        if save_thread is not None:
+            save_thread.join()  # re-raises a failed table save
+    finally:
+        # error path: wait for the overlapped writers (a daemon thread
+        # killed at interpreter exit leaves a truncated artifact) without
+        # masking the in-flight exception
+        if fk_thread is not None:
+            fk_thread.join(reraise=False)
+        if save_thread is not None:
+            save_thread.join(reraise=False)
 
     return BuildResult(builder, kept, table, function_index,
                        kmer_data_dir)

@@ -256,7 +256,11 @@ class ParallelFunctionCaller(FunctionCaller):
     def _parallel_fn(self, L: int, F: int, W: int | None = None):
         W = L if W is None else W
         key = (L, F, W)
-        if key not in self._pjit:
+        if key in self._pjit:
+            return self._pjit[key]
+        with self._cache_lock:  # concurrent executor dispatches (serve)
+            if key in self._pjit:
+                return self._pjit[key]
             import jax
             import jax.numpy as jnp
             from jax import shard_map
@@ -350,9 +354,15 @@ class ParallelFunctionCaller(FunctionCaller):
         # immutable; /add swaps in a whole new caller) — re-uploading
         # GBs per batch would dominate serve --mesh request latency
         if self._tab_in is None:
-            self._tab_in = [distributed.put_global(self.mesh, spec, a)
-                            for spec, a in zip(self.stable.in_specs(P),
-                                               self.stable.arrays())]
+            # double-checked under the cache lock: concurrent first
+            # dispatches (serve depth > 1) must not upload the multi-GB
+            # sharded table twice
+            with self._cache_lock:
+                if self._tab_in is None:
+                    self._tab_in = [
+                        distributed.put_global(self.mesh, spec, a)
+                        for spec, a in zip(self.stable.in_specs(P),
+                                           self.stable.arrays())]
         tab_in = self._tab_in
         for s in range(0, max(n, 1), per_round):
             e = min(s + per_round, n)

@@ -35,6 +35,29 @@ OP_ADD = 2
 
 _HEADER_LEN = 3
 
+# One MODULE-GLOBAL reentrant dispatch lock serializes every broadcast
+# sequence a rank-0 thread can start (call dispatches, /add rebuilds,
+# /quit).  Followers execute broadcasts in one strict order; rank 0 runs
+# HTTP handlers on executor threads plus the event loop, and /add swaps
+# in a fresh MultihostCaller instance — a per-instance lock would let an
+# in-flight dispatch on the OLD caller interleave with the first
+# dispatch on the NEW one (or with broadcast_add/broadcast_quit, which
+# are plain functions).  Everything that broadcasts takes this lock.
+#
+# CRITICALLY, the lock must also make {engines-snapshot read -> OP_CALL
+# broadcast} atomic against {OP_ADD broadcast -> engines swap}: the
+# follower's program order is its broadcast-receive order, so an OP_CALL
+# broadcast AFTER OP_ADD must run on the NEW engines on BOTH sides.  A
+# lock-free snapshot read let rank 0 dispatch an old (already-placed)
+# caller against a follower running its new (unplaced) caller — the two
+# ranks' lazy table placements then issue different Gloo transfer
+# sequences and the runtime aborts with a collective size mismatch
+# (observed: 2 MB table placement vs 12 KB input rows).  Reentrant
+# because service._call_batch holds it around MultihostCaller.call_batch
+# (which takes it again), and add_text holds it across broadcast_add +
+# its own rebuild.
+_dispatch_lock = threading.RLock()
+
 
 def _bcast(arr):
     """Broadcast a host array from rank 0 to every process."""
@@ -52,9 +75,10 @@ class MultihostCaller:
 
     Rank 0 owns the only instance in broadcasting mode: every collective
     ``call_batch`` first broadcasts the batch bytes so the follower
-    ranks enter the same program.  A (threading) lock serializes
-    dispatches — the asyncio service runs batches in executor threads,
-    and interleaved broadcasts from two threads would deadlock the
+    ranks enter the same program.  The module-global ``_dispatch_lock``
+    serializes dispatches — the asyncio service runs batches in executor
+    threads, and interleaved broadcasts from two threads (or from an old
+    caller instance surviving an /add swap) would deadlock the
     collective order.
 
     ``keep_hits`` batches take ParallelFunctionCaller's own local
@@ -63,7 +87,6 @@ class MultihostCaller:
 
     def __init__(self, inner):
         self.inner = inner
-        self._lock = threading.Lock()
 
     # attribute surface the service/batcher touches
     @property
@@ -83,7 +106,7 @@ class MultihostCaller:
             # local fallback path in ParallelFunctionCaller: no
             # collectives, so no broadcast required
             return self.inner.call_batch(batch, keep_hits=True)
-        with self._lock:
+        with _dispatch_lock:
             codes = np.ascontiguousarray(batch.codes, dtype=np.uint8)
             offsets = np.ascontiguousarray(batch.offsets, dtype=np.int32)
             _bcast_header(OP_CALL, codes.shape[0], len(batch))
@@ -93,14 +116,21 @@ class MultihostCaller:
 
 
 def broadcast_add(body: bytes) -> None:
-    """Rank 0: announce an /add body so every rank rebuilds its table."""
+    """Rank 0: announce an /add body so every rank rebuilds its table.
+
+    Holds the dispatch lock for the broadcast ONLY — the follower's
+    rebuild collectives run from its loop before it reads the next
+    header, and rank 0's own rebuild happens in the caller (under the
+    service writer lock) before the swapped-in engine can dispatch."""
     payload = np.frombuffer(body, dtype=np.uint8).copy()
-    _bcast_header(OP_ADD, payload.shape[0], 0)
-    _bcast(payload)
+    with _dispatch_lock:
+        _bcast_header(OP_ADD, payload.shape[0], 0)
+        _bcast(payload)
 
 
 def broadcast_quit() -> None:
-    _bcast_header(OP_QUIT, 0, 0)
+    with _dispatch_lock:
+        _bcast_header(OP_QUIT, 0, 0)
 
 
 def follower_loop(service) -> None:
@@ -112,8 +142,6 @@ def follower_loop(service) -> None:
     """
     from ..io.fasta import SequenceBatch
 
-    caller = service.engines.caller
-    inner = caller.inner if isinstance(caller, MultihostCaller) else caller
     while True:
         op, a, b = (int(x) for x in _bcast_header())
         if op == OP_QUIT:
@@ -123,10 +151,9 @@ def follower_loop(service) -> None:
             offsets = _bcast(np.zeros(b + 1, dtype=np.int32))
             batch = SequenceBatch(codes, offsets,
                                   [f"s{i}" for i in range(b)], [""] * b)
-            inner = (service.engines.caller.inner
-                     if isinstance(service.engines.caller, MultihostCaller)
-                     else service.engines.caller)
-            inner.call_batch(batch)
+            # re-read per op: /add swaps service.engines (followers never
+            # wrap in MultihostCaller — _make_engines only wraps rank 0)
+            service.engines.caller.call_batch(batch)
         elif op == OP_ADD:
             payload = _bcast(np.zeros(a, dtype=np.uint8))
             service.add_text(payload.tobytes(), _broadcast=False)

@@ -126,13 +126,15 @@ class _QueryBatcher:
                     deflines=[d for b in batches for d in b.deflines],
                 )
                 try:
-                    # lock-free: one engines-snapshot read; an /add that
-                    # lands mid-batch swaps the attribute for the NEXT
-                    # batch while this one finishes on its old table
-                    caller = self.service.engines.caller
+                    # single-host: one lock-free engines-snapshot read —
+                    # an /add that lands mid-batch swaps the attribute
+                    # for the NEXT batch while this one finishes on its
+                    # old table.  Multihost: _call_batch resolves the
+                    # snapshot under the dispatch lock so the broadcast
+                    # order matches the follower's engine state.
                     t0 = time.perf_counter()
                     results = await loop.run_in_executor(
-                        None, caller.call_batch, merged)
+                        None, self.service._call_batch, merged)
                     self.call_ms += (time.perf_counter() - t0) * 1e3
                     self.batches_run += 1
                     self.seqs_run += len(merged)
@@ -227,6 +229,23 @@ class AnnotationService:
     def distance(self) -> MatrixDistance:
         return self.engines.distance
 
+    def _call_batch(self, batch, keep_hits: bool = False):
+        """Resolve the engines snapshot and run one call dispatch.
+
+        Multihost: the snapshot read + the dispatch's OP_CALL broadcast
+        must be ATOMIC against /add's OP_ADD broadcast + engine swap —
+        the follower's program order is its broadcast-receive order, so
+        a dispatch broadcast after OP_ADD must run the NEW engines on
+        both sides (see multihost._dispatch_lock).  Single-host: one
+        lock-free snapshot read (copy-on-write /add)."""
+        if self.multihost:
+            from .multihost import _dispatch_lock
+
+            with _dispatch_lock:
+                return self.engines.caller.call_batch(
+                    batch, keep_hits=keep_hits)
+        return self.engines.caller.call_batch(batch, keep_hits=keep_hits)
+
     # -- request handlers --------------------------------------------------
 
     def version_text(self) -> str:
@@ -239,7 +258,7 @@ class AnnotationService:
         batch = fasta_io.SequenceBatch.from_records(
             fasta_io.iter_fasta(body))
         out = io.StringIO()
-        for res in self.caller.call_batch(batch):
+        for res in self._call_batch(batch):
             out.write(formats.format_call_row(
                 res.seq_id, res.best.function, res.best.function_index,
                 res.best.score))
@@ -251,7 +270,7 @@ class AnnotationService:
         batch = fasta_io.SequenceBatch.from_records(
             fasta_io.iter_fasta(body))
         out = io.StringIO()
-        for res in self.caller.call_batch(batch, keep_hits=True):
+        for res in self._call_batch(batch, keep_hits=True):
             for h in res.hits or []:
                 fn = (self.function_index[h.function_index]
                       if h.function_index < len(self.function_index) else "")
@@ -269,15 +288,23 @@ class AnnotationService:
         Multihost: rank 0 broadcasts the body first so every rank
         rebuilds the same table and re-places its shards (followers call
         with _broadcast=False from follower_loop)."""
+        if self.multihost and _broadcast:
+            from .multihost import _dispatch_lock, broadcast_add
+
+            # hold the dispatch lock across broadcast AND rank 0's own
+            # rebuild+swap: a call dispatch between OP_ADD and the swap
+            # would broadcast the OLD engines against followers already
+            # running the NEW ones (see multihost._dispatch_lock)
+            with _dispatch_lock:
+                broadcast_add(body)
+                return self._add_apply(body)
+        return self._add_apply(body)
+
+    def _add_apply(self, body: bytes) -> str:
         import numpy as np
 
         from ..core import alphabet
         from ..table import build_table
-
-        if self.multihost and _broadcast:
-            from .multihost import broadcast_add
-
-            broadcast_add(body)
 
         his, los, v0s, v1s, v2s = [], [], [], [], []
         for line in body.decode("latin-1").splitlines():
@@ -345,7 +372,7 @@ class AnnotationService:
             for i, d, s in zip(ids, defs, seqs))
         best: dict[str, tuple[float, int, object]] = {}
         order: list[str] = []
-        for frame, res in zip(frames, self.caller.call_batch(batch)):
+        for frame, res in zip(frames, self._call_batch(batch)):
             if res.best.function_index == 0xFFFF:
                 continue
             if res.seq_id not in best:
@@ -633,11 +660,21 @@ async def serve_async(data_dir, host="127.0.0.1", port=6100,
         ready_event.set()
     async with server:
         await stop_event.wait()
+    # let in-flight coalesced dispatches finish before tearing down —
+    # /quit must not abandon answered-but-unfinished requests, and in
+    # multihost mode OP_QUIT must not interleave with a dispatch's
+    # broadcasts (the dispatch lock also enforces this, but draining
+    # first gives those requests their responses)
+    while service.batcher._drain_tasks:
+        await asyncio.gather(*list(service.batcher._drain_tasks),
+                             return_exceptions=True)
     if multihost:
-        # shut the follower ranks down with the front-end
+        # shut the follower ranks down with the front-end; run in an
+        # executor — the broadcast takes the dispatch lock, which an
+        # executor-thread dispatch may still hold
         from .multihost import broadcast_quit
 
-        broadcast_quit()
+        await asyncio.get_event_loop().run_in_executor(None, broadcast_quit)
 
 
 def serve(data_dir, host="127.0.0.1", port=6100, config: Config = Config(),

@@ -359,6 +359,45 @@ def test_multihost_serve(mp_data, tmp_path):
         got2 = req("/query", fasta_body)
         assert sorted(got2.splitlines()) == sorted(expected.splitlines())
 
+        # CONCURRENT /query + /add: the engines-snapshot read and the
+        # OP_CALL broadcast must be atomic against OP_ADD + engine swap
+        # (multihost._dispatch_lock) — without it the two ranks' lazy
+        # table placements issue different Gloo transfer sequences and
+        # the fleet aborts on a collective size mismatch (regression:
+        # observed SIGABRT, 2 MB placement vs 12 KB input rows)
+        import threading
+
+        conc_out: dict = {}
+        conc_err: list = []
+
+        def qclient(cid):
+            try:
+                for i in range(3):
+                    conc_out[(cid, i)] = req("/query", fasta_body,
+                                             timeout=300)
+            except Exception as e:  # noqa: BLE001
+                conc_err.append(f"q{cid}: {e!r}")
+
+        def aclient():
+            try:
+                conc_out["add"] = req(
+                    "/add", b"CDEFGHIK\t5\t3\t250\t250\t0\n", timeout=300)
+            except Exception as e:  # noqa: BLE001
+                conc_err.append(f"add: {e!r}")
+
+        ths = [threading.Thread(target=qclient, args=(c,))
+               for c in range(3)] + [threading.Thread(target=aclient)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        assert not conc_err, conc_err
+        assert conc_out["add"].strip() == "added 1"
+        for k, v in conc_out.items():
+            if k != "add":
+                assert sorted(v.splitlines()) == \
+                    sorted(expected.splitlines()), k
+
         assert req("/quit").strip() == "OK"
     finally:
         outs = []

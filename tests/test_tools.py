@@ -325,7 +325,7 @@ class TestQueryBatcher:
         # they shared one device batch
         assert svc.batcher.batches_run == 1
 
-    def test_overlapped_dispatch(self, data_dir):
+    def test_overlapped_dispatch(self, data_dir, monkeypatch):
         """Requests arriving while one batch is on the device are
         dispatched by a SECOND worker concurrently (depth > 1);
         multihost pins depth 1 (collective order must match across
@@ -338,6 +338,9 @@ class TestQueryBatcher:
         from tests.fixtures.gen_corpus import FUNCTIONS, _rand_prot
         import random
 
+        # pin the ambient env: a developer's SKT_SERVE_DEPTH export must
+        # not change what this test asserts
+        monkeypatch.delenv("SKT_SERVE_DEPTH", raising=False)
         svc = AnnotationService(str(data_dir))
         assert svc.batcher.depth == 4  # default; SKT_SERVE_DEPTH overrides
         caller = svc.engines.caller
