@@ -377,6 +377,31 @@ class TestMeshBuild:
                 == (data_dir / "final.kmers").read_text())
 
 
+class TestOverlappedWriteFailure:
+    def test_failed_table_save_fails_build(self, corpus, tmp_path,
+                                           monkeypatch):
+        """The overlapped table save runs on a background thread during
+        the recall pass; its failure must fail the build (models/
+        pipeline._BgTask re-raises at join) — a silent ENOSPC must not
+        produce exit 0 with a missing store."""
+        import pytest
+
+        from signature_kmers_tpu.models import pipeline
+        from signature_kmers_tpu.table.wide_table import WideKmerTable
+
+        def boom(self, *a, **k):
+            raise OSError("disk full (simulated)")
+
+        monkeypatch.setattr(WideKmerTable, "save", boom)
+        with pytest.raises(OSError, match="disk full"):
+            pipeline.run_build(
+                definition_dirs=[corpus / "Annotations"],
+                fasta_dirs=[corpus / "Seqs"],
+                kmer_data_dir=tmp_path / "kd",
+                final_kmers="final.kmers",
+                recall=True)
+
+
 class TestBuildFlagPlumbing:
     def test_good_deleted_ignored_flags(self, corpus, tmp_path):
         # deleted feature: drop one protein; ignored function: drop Ribosomal
