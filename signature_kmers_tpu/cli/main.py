@@ -479,6 +479,12 @@ def _add_serve(sub):
     p.add_argument("--kmer-family-distribution", metavar="FILE",
                    help="write per-function signature-k-mer counts at "
                         "startup (ref: kmers-server.cc:254-263)")
+    p.add_argument("--warm", type=int, nargs="?", const=384, default=0,
+                   metavar="LEN",
+                   help="pre-compile the coalesced-batch dispatch shapes "
+                        "at startup for typical query length LEN "
+                        "(default 384) — removes the first-shape XLA "
+                        "compile from p99 tail latency under load")
     p.add_argument("--mesh", action="store_true",
                    help="dispatch onto a dp x tp device mesh: queries "
                         "dp-sharded, the signature table tp-sharded "
@@ -535,7 +541,7 @@ def cmd_serve(args):
             if args.pid_file:
                 Path(args.pid_file).write_text(f"{os.getpid()}\n")
             serve(args.data_dir, host=args.host, port=args.port,
-                  mesh=mesh, multihost=True)
+                  mesh=mesh, multihost=True, warm_len=args.warm)
         else:
             svc = AnnotationService(args.data_dir, mesh=mesh,
                                     multihost=True)
@@ -580,7 +586,8 @@ def cmd_serve(args):
             os.dup2(devnull, fd)
     if args.pid_file:
         Path(args.pid_file).write_text(f"{os.getpid()}\n")
-    serve(args.data_dir, host=args.host, port=args.port, mesh=build_mesh())
+    serve(args.data_dir, host=args.host, port=args.port, mesh=build_mesh(),
+          warm_len=args.warm)
     return 0
 
 

@@ -246,6 +246,37 @@ class AnnotationService:
                     batch, keep_hits=keep_hits)
         return self.engines.caller.call_batch(batch, keep_hits=keep_hits)
 
+    def warm(self, length: int = 384, max_rows: int = 1024) -> int:
+        """Pre-compile the dispatch shapes coalesced batches hit.
+
+        Batch row counts land on a pow2 grid (FunctionCaller.
+        _dispatch_device) and the code width on a 128 grid; a fresh
+        server otherwise pays a multi-second XLA compile the first time
+        each shape arrives, which surfaces as p99 tail latency under
+        load (measured: a mid-run shape compile held a 6.5 s p99 in
+        benchmarks/service_bench.py).  Compiles land in the persistent
+        cache (utils/jaxcache), so warming is fast on restart.  In
+        multihost mode the warm batches ride the normal broadcast path
+        — every rank compiles the same programs.  Returns the number of
+        warm dispatches run."""
+        import numpy as np
+
+        from ..core import alphabet
+
+        seq = alphabet.encode_seq("ACDEFGHIKLMNPQRSTVWY" * 64)[:length]
+        n_shapes = 0
+        rows = 64
+        while rows <= min(max_rows, self.config.device.call_batch):
+            batch = fasta_io.SequenceBatch(
+                codes=np.tile(seq, rows),
+                offsets=(np.arange(rows + 1) * length).astype(np.int32),
+                ids=[f"w{i}" for i in range(rows)],
+                deflines=[""] * rows)
+            self._call_batch(batch)
+            n_shapes += 1
+            rows <<= 1
+        return n_shapes
+
     # -- request handlers --------------------------------------------------
 
     def version_text(self) -> str:
@@ -650,9 +681,18 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
 
 async def serve_async(data_dir, host="127.0.0.1", port=6100,
                       config: Config = Config(), ready_event=None,
-                      mesh=None, multihost: bool = False):
+                      mesh=None, multihost: bool = False,
+                      warm_len: int = 0):
     service = AnnotationService(data_dir, config, mesh=mesh,
                                 multihost=multihost)
+    if warm_len:
+        import sys
+        import time
+
+        t0 = time.perf_counter()
+        n = service.warm(warm_len)
+        print(f"warmed {n} dispatch shapes (len {warm_len}) in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     stop_event = asyncio.Event()
     server = await asyncio.start_server(
         lambda r, w: _handle(service, stop_event, r, w), host, port)
@@ -678,6 +718,6 @@ async def serve_async(data_dir, host="127.0.0.1", port=6100,
 
 
 def serve(data_dir, host="127.0.0.1", port=6100, config: Config = Config(),
-          mesh=None, multihost: bool = False):
+          mesh=None, multihost: bool = False, warm_len: int = 0):
     asyncio.run(serve_async(data_dir, host, port, config, mesh=mesh,
-                            multihost=multihost))
+                            multihost=multihost, warm_len=warm_len))

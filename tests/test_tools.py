@@ -383,6 +383,24 @@ class TestQueryBatcher:
         assert FUNCTIONS  # fixture sanity (corpus functions exist)
 
 
+class TestWarm:
+    def test_warm_compiles_shapes_and_serves(self, data_dir):
+        """service.warm pre-compiles the pow2-rows dispatch shapes; the
+        service must answer real queries correctly afterwards."""
+        import random
+
+        from signature_kmers_tpu.service.server import AnnotationService
+        from tests.fixtures.gen_corpus import FUNCTIONS, _rand_prot
+
+        svc = AnnotationService(str(data_dir))
+        n = svc.warm(length=256, max_rows=128)
+        assert n == 2  # rows 64 and 128
+        r = random.Random(20240817)
+        fn, seq = FUNCTIONS[0], _rand_prot(r, 220)
+        out = svc.query_text(f">q\n{seq}\n".encode())
+        assert out.split("\t")[1] == fn
+
+
 class TestKmerDistribution:
     def test_write_kmer_distribution(self, data_dir, tmp_path):
         from signature_kmers_tpu.service.server import AnnotationService
