@@ -520,22 +520,28 @@ def cmd_serve(args):
 
         mesh = make_mesh(tp=args.tp)
         rank0 = jax.process_index() == 0
-        if args.no_listen or (rank0 and args.kmer_family_distribution):
-            # profiling / startup-artifact path: --no-listen loads on
-            # every rank and exits without serving (nobody enters the
-            # broadcast loop); the distribution write is rank 0's,
-            # host-side (mirrors the single-host path below)
+        if args.no_listen:
+            # profiling path: every rank loads the data dir on the mesh
+            # and exits without serving (nobody enters the broadcast
+            # loop); the distribution write is rank 0's, host-side
             svc = AnnotationService(args.data_dir, mesh=mesh,
                                     multihost=True)
             if rank0 and args.kmer_family_distribution:
                 svc.write_kmer_distribution(args.kmer_family_distribution)
                 print("write distribution to "
                       f"{args.kmer_family_distribution}", file=sys.stderr)
-            if args.no_listen:
-                if rank0:
-                    print(f"loaded {svc.table.n_items} kmers; "
-                          "not listening", file=sys.stderr)
-                return 0
+            if rank0:
+                print(f"loaded {svc.table.n_items} kmers; "
+                      "not listening", file=sys.stderr)
+            return 0
+        if rank0 and args.kmer_family_distribution:
+            # host-side write (table.occupied() only) — needs no mesh;
+            # building the sharded service twice would double the
+            # fleet's time-to-ready on a production-size table
+            svc = AnnotationService(args.data_dir)
+            svc.write_kmer_distribution(args.kmer_family_distribution)
+            print("write distribution to "
+                  f"{args.kmer_family_distribution}", file=sys.stderr)
             del svc
         if rank0:
             if args.pid_file:

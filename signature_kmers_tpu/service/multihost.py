@@ -58,6 +58,18 @@ _HEADER_LEN = 3
 # its own rebuild.
 _dispatch_lock = threading.RLock()
 
+# set (under the lock) once OP_QUIT has been broadcast: the followers
+# have exited their loops, so any later broadcast would block forever
+# waiting for peers.  Guarded dispatchers raise instead — a queued /add
+# or /query racing shutdown gets a clean 500, not a fleet hang.
+_quit_sent = False
+
+
+def _check_live() -> None:
+    if _quit_sent:
+        raise RuntimeError("multihost service is shutting down "
+                           "(OP_QUIT already broadcast)")
+
 
 def _bcast(arr):
     """Broadcast a host array from rank 0 to every process."""
@@ -107,6 +119,7 @@ class MultihostCaller:
             # collectives, so no broadcast required
             return self.inner.call_batch(batch, keep_hits=True)
         with _dispatch_lock:
+            _check_live()
             codes = np.ascontiguousarray(batch.codes, dtype=np.uint8)
             offsets = np.ascontiguousarray(batch.offsets, dtype=np.int32)
             _bcast_header(OP_CALL, codes.shape[0], len(batch))
@@ -124,13 +137,18 @@ def broadcast_add(body: bytes) -> None:
     service writer lock) before the swapped-in engine can dispatch."""
     payload = np.frombuffer(body, dtype=np.uint8).copy()
     with _dispatch_lock:
+        _check_live()
         _bcast_header(OP_ADD, payload.shape[0], 0)
         _bcast(payload)
 
 
 def broadcast_quit() -> None:
+    global _quit_sent
     with _dispatch_lock:
+        if _quit_sent:
+            return
         _bcast_header(OP_QUIT, 0, 0)
+        _quit_sent = True
 
 
 def follower_loop(service) -> None:

@@ -263,7 +263,8 @@ class AnnotationService:
 
         from ..core import alphabet
 
-        seq = alphabet.encode_seq("ACDEFGHIKLMNPQRSTVWY" * 64)[:length]
+        reps = -(-max(1, length) // 20)  # tile to cover ANY warm length
+        seq = alphabet.encode_seq("ACDEFGHIKLMNPQRSTVWY" * reps)[:length]
         n_shapes = 0
         rows = 64
         while rows <= min(max_rows, self.config.device.call_batch):

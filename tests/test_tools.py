@@ -395,6 +395,9 @@ class TestWarm:
         svc = AnnotationService(str(data_dir))
         n = svc.warm(length=256, max_rows=128)
         assert n == 2  # rows 64 and 128
+        # lengths beyond the template tile must not read out of bounds
+        # (regression: a fixed 1280-char template + offsets*length)
+        assert svc.warm(length=1500, max_rows=64) == 1
         r = random.Random(20240817)
         fn, seq = FUNCTIONS[0], _rand_prot(r, 220)
         out = svc.query_text(f">q\n{seq}\n".encode())
