@@ -520,6 +520,12 @@ def cmd_serve(args):
 
         mesh = make_mesh(tp=args.tp)
         rank0 = jax.process_index() == 0
+
+        def write_distribution(svc):
+            svc.write_kmer_distribution(args.kmer_family_distribution)
+            print("write distribution to "
+                  f"{args.kmer_family_distribution}", file=sys.stderr)
+
         if args.no_listen:
             # profiling path: every rank loads the data dir on the mesh
             # and exits without serving (nobody enters the broadcast
@@ -527,9 +533,7 @@ def cmd_serve(args):
             svc = AnnotationService(args.data_dir, mesh=mesh,
                                     multihost=True)
             if rank0 and args.kmer_family_distribution:
-                svc.write_kmer_distribution(args.kmer_family_distribution)
-                print("write distribution to "
-                      f"{args.kmer_family_distribution}", file=sys.stderr)
+                write_distribution(svc)
             if rank0:
                 print(f"loaded {svc.table.n_items} kmers; "
                       "not listening", file=sys.stderr)
@@ -538,11 +542,7 @@ def cmd_serve(args):
             # host-side write (table.occupied() only) — needs no mesh;
             # building the sharded service twice would double the
             # fleet's time-to-ready on a production-size table
-            svc = AnnotationService(args.data_dir)
-            svc.write_kmer_distribution(args.kmer_family_distribution)
-            print("write distribution to "
-                  f"{args.kmer_family_distribution}", file=sys.stderr)
-            del svc
+            write_distribution(AnnotationService(args.data_dir))
         if rank0:
             if args.pid_file:
                 Path(args.pid_file).write_text(f"{os.getpid()}\n")

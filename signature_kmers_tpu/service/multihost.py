@@ -131,10 +131,9 @@ class MultihostCaller:
 def broadcast_add(body: bytes) -> None:
     """Rank 0: announce an /add body so every rank rebuilds its table.
 
-    Holds the dispatch lock for the broadcast ONLY — the follower's
-    rebuild collectives run from its loop before it reads the next
-    header, and rank 0's own rebuild happens in the caller (under the
-    service writer lock) before the swapped-in engine can dispatch."""
+    The caller (AnnotationService.add_text) holds the reentrant
+    dispatch lock across this broadcast AND its own rebuild+swap, so no
+    call dispatch can slip between OP_ADD and the engine swap."""
     payload = np.frombuffer(body, dtype=np.uint8).copy()
     with _dispatch_lock:
         _check_live()
