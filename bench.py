@@ -499,6 +499,11 @@ def main():
         "unit": "seqs/s",
         # honest denominator: the reference's authentic cmph read path
         "vs_baseline": round(vs_baseline, 2),
+        # the same ratio in the chip's fast gather state (the regime is
+        # external, two-state; gather_ns_per_row below says which state
+        # THIS run measured) — read the pair together
+        "vs_baseline_fast_state": round(
+            value_fast / cpu_ref_rate, 2) if cpu_ref_rate else 0.0,
         "cpu_ref_seqs_per_s": round(cpu_ref_rate, 1),
         # optimized CPU re-creation (faster than the real reference)
         "cpu_opt_seqs_per_s": round(cpu_opt_rate, 1),
