@@ -349,12 +349,15 @@ def main():
           file=sys.stderr)
 
     # --- gather-state probe ---------------------------------------------
-    # The chip's large-table row gathers sit in one of two states (~3.7 vs
-    # ~10+ ns/row; docs/PERF.md round-2/3 addenda) that flips on minute+
-    # scales under shared tenancy, outside program control (experiment
-    # matrix: benchmarks/gather_{cliff,order,copies,matrix,regime}.py).
-    # Measure which state this bench ran in and project the fast-state
-    # number so both are recorded honestly.
+    # The gather MICROBENCHMARK shows two states (~3.7 vs ~10+ ns/row;
+    # docs/PERF.md round-2/3 addenda).  Round-4's paired experiment
+    # (benchmarks/state_pairing.py, 206 interleaved chunk+probe samples)
+    # found the fast probe state NEVER coincides with a fast full-program
+    # chunk — the projection below is a microbenchmark EXTRAPOLATION kept
+    # for round-over-round comparability, not an attainable program
+    # number (docs/PERF.md round-4 addendum).  The measured chunk time is
+    # the capability claim; gather_ns_per_row attributes probe-cost
+    # variance between runs.
     gather_ns = 0.0
     value_fast = value
     if dev.platform != "cpu":
@@ -514,8 +517,9 @@ def main():
         "cpu_mt_seqs_per_s": round(cpu_mt_rate, 1),
         "cpu_mt_threads": mt_threads,
         "vs_cpu_mt": round(vs_cpu_mt, 2),
-        # the chip's two-state gather regime (docs/PERF.md): which state
-        # this run measured, and the projected fast-state value
+        # gather microbenchmark state at run end + the fast-state
+        # EXTRAPOLATION (state_pairing.py showed it does not transfer to
+        # full-program chunks; kept for round-over-round comparability)
         "gather_ns_per_row": round(gather_ns, 2),
         "fast_state_projection_seqs_per_s": round(value_fast, 1),
         "e2e_over_link_seqs_per_s": round(e2e, 1),
