@@ -134,7 +134,7 @@ def build_workload(seed=7, n_kmers=None, n_queries=None):
         codes[q, pos] = aa[rng.integers(0, 20, nmut)]
     function_index = [f"fn{i}" for i in range(N_FUNCTIONS)] + [
         "hypothetical protein"]
-    return table, cpu_table, (mph, vals), function_index, codes
+    return table, cpu_table, (mph, vals), function_index, codes, corpus
 
 
 def main():
@@ -213,10 +213,18 @@ def main():
     # published number, README.md:4 "6:54"), recall on AND off, run in
     # subprocesses so device memory is returned before the call bench.
     build_300k = {"recall": [], "norecall": []}
+    build_phases: dict = {}   # phase name -> [seconds per recall rep]
+    build_link_up: list = []  # link MB/s measured inside the build runs
     build_n_seqs = 300_000 if dev.platform != "cpu" else 30_000
-    build_reps = int(os.environ.get("SKT_BENCH_BUILD_REPS", "1"))
+    # recall-on is the benched config and runs >=3 reps by default so the
+    # recorded number is a median, not one unattributed sample (VERDICT
+    # r4 #3); norecall is a single delta-attribution rep (the recall
+    # phase timing separates the recall cost anyway)
+    build_reps = int(os.environ.get("SKT_BENCH_BUILD_REPS", "3"))
     if os.environ.get("SKT_BENCH_SKIP_BUILD"):
         build_reps = 0
+    import re as _re
+
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks")
     for mode, extra in (("norecall", []), ("recall", ["--recall"])):
@@ -226,8 +234,10 @@ def main():
             print("e2e build (recall): skipped (norecall failed)",
                   file=sys.stderr)
             continue
-        for rep in range(build_reps):
+        reps_mode = min(build_reps, 1) if mode == "norecall" else build_reps
+        for rep in range(reps_mode):
             t0 = time.perf_counter()
+            r = None
             try:
                 r = subprocess.run(
                     [sys.executable,
@@ -240,11 +250,29 @@ def main():
             dt = time.perf_counter() - t0
             if ok:
                 build_300k[mode].append(dt)
+                phases = {}
+                for ln in (r.stderr or "").splitlines():
+                    m = _re.match(r"\[build-timing\] (.+): ([0-9.]+)s",
+                                  ln.strip())
+                    if m:
+                        phases[m.group(1)] = float(m.group(2))
+                for ln in (r.stdout or "").splitlines():
+                    m = _re.match(r"\[build-link\] up ([0-9.]+) MB/s",
+                                  ln.strip())
+                    if m and mode == "recall":
+                        build_link_up.append(float(m.group(1)))
+                if mode == "recall":
+                    for k, v in phases.items():
+                        build_phases.setdefault(k, []).append(v)
+                ph = " ".join(f"{k}={v:.0f}s"
+                              for k, v in sorted(phases.items()))
                 print(f"e2e build {build_n_seqs} ({mode}) rep {rep}: "
-                      f"{dt:.1f}s", file=sys.stderr)
+                      f"{dt:.1f}s  [{ph}]", file=sys.stderr)
             else:
-                print(f"e2e build ({mode}) rep {rep}: FAILED/timeout",
-                      file=sys.stderr)
+                tail = ((r.stderr or "").strip().splitlines()[-3:]
+                        if r is not None else ["timeout"])
+                print(f"e2e build ({mode}) rep {rep}: FAILED/timeout "
+                      f"({' | '.join(tail)})", file=sys.stderr)
 
     # --- service throughput (BASELINE config #5: streaming annotation
     # service).  Runs the real serve CLI + N concurrent HTTP clients via
@@ -252,6 +280,7 @@ def main():
     # table, cached under /tmp) and merges qps/latency into the JSON so
     # the round-over-round record carries the service as a number.
     service = {}
+    service_error = ""
     if dev.platform != "cpu" and not os.environ.get(
             "SKT_BENCH_SKIP_SERVICE"):
         try:
@@ -265,20 +294,32 @@ def main():
                 if line.startswith("{"):
                     service = json.loads(line)
                     break
-            print(f"service bench: {service.get('qps', 0)} qps, "
-                  f"p50 {service.get('lat_p50_ms', 0)} ms, "
-                  f"p99 {service.get('lat_p99_ms', 0)} ms, "
-                  f"mean coalesced {service.get('mean_coalesced_seqs', 0)} "
-                  f"seqs/batch", file=sys.stderr)
+            if "qps" not in service:
+                # the bench's own error JSON (or no JSON at all): record
+                # the failure explicitly — zeros in the service_* keys
+                # would conflate "bench failed" with a measured zero
+                service_error = str(service.get("error")
+                                    or f"no result JSON (rc={r.returncode})")
+                service = {}
+            else:
+                print(f"service bench: {service.get('qps', 0)} qps, "
+                      f"p50 {service.get('lat_p50_ms', 0)} ms, "
+                      f"p99 {service.get('lat_p99_ms', 0)} ms, "
+                      f"mean coalesced "
+                      f"{service.get('mean_coalesced_seqs', 0)} "
+                      f"seqs/batch", file=sys.stderr)
         except Exception as e:
-            print(f"service bench failed: {e!r}", file=sys.stderr)
+            service_error = repr(e)
+        if service_error:
+            print(f"service bench FAILED: {service_error}", file=sys.stderr)
 
     if dev.platform == "cpu":
         # fallback mode: scaled-down workload so the bench completes
-        table, cpu_table, bdz, function_index, codes = build_workload(
-            n_kmers=2_000_000, n_queries=2048)
+        table, cpu_table, bdz, function_index, codes, corpus = \
+            build_workload(n_kmers=2_000_000, n_queries=2048)
     else:
-        table, cpu_table, bdz, function_index, codes = build_workload()
+        table, cpu_table, bdz, function_index, codes, corpus = \
+            build_workload()
     n_queries, seq_len = codes.shape
 
     cfg = Config()
@@ -394,6 +435,131 @@ def main():
               f"({'SLOW' if gather_ns > 5.5 else 'fast'} state; fast-state "
               f"projection {value_fast:,.0f} seqs/s/chip)", file=sys.stderr)
 
+    # --- realistic workloads (VERDICT r4 weak #2) ------------------------
+    # The headline chunk is uniform 300-aa and hit-heavy (~98% called,
+    # ~80% of windows hitting).  Real query sets are length-mixed and
+    # signature-sparse.  Both variants are measured on-chip exactly like
+    # the headline (length-sorted chunks, resident inputs, same fused
+    # program) and carried in the JSON; docs/PERF.md states which number
+    # is the capability claim.
+    mixed_rate = 0.0
+    lowhit_rate = 0.0
+    if dev.platform != "cpu":
+        from signature_kmers_tpu.core import alphabet as _alpha
+
+        aa = _alpha.encode_seq("ACDEFGHIKLMNPQRSTVWY")
+
+        def onchip_batch_rate(qcodes, qoffsets, label, reps=3):
+            """On-chip rate over the production chunking of a real batch:
+            length-sort, per-chunk (L, W) buckets, resident inputs."""
+            nb = len(qoffsets) - 1
+            b = SequenceBatch(qcodes, qoffsets.astype(np.int32),
+                              [f"{label}{i}" for i in range(nb)],
+                              [""] * nb)
+            b = caller._permute_batch(
+                b, np.argsort(b.lengths, kind="stable"))
+            k = cfg.call.k
+            chunks = []
+            CH = 4096  # headline chunk size
+            for s in range(0, nb, CH):
+                e = min(s + CH, nb)
+                nat = int(b.lengths[s:e].max())
+                L = -(-nat // 128) * 128
+                Wc = min(L, max(16, -(-(max(nat, k) - k + 1) // 16) * 16))
+                rows_pad = 64
+                while rows_pad < e - s:
+                    rows_pad <<= 1
+                pr2, sr2, ln2 = kp.pack_u6_rows_host(
+                    b.codes[b.offsets[s]:b.offsets[e]],
+                    np.asarray(b.offsets[s:e + 1] - b.offsets[s]),
+                    rows_pad, L)
+                f2, arr2 = caller._full_device_fn(L, Wc)
+                chunks.append((f2, arr2,
+                               [jax.device_put(a) for a in (pr2, sr2, ln2)]))
+            for f2, arr2, din in chunks:  # compile + warm
+                _ = int(f2(*arr2, *din)[0, 0])
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                o = None
+                for f2, arr2, din in chunks:
+                    o = f2(*arr2, *din)
+                _ = int(o[0, 0])  # device stream is ordered: syncs all
+                best = min(best, time.perf_counter() - t0)
+            return nb / best
+
+        rngm = np.random.default_rng(17)
+        n_mix = 8192
+        # (a) mixed lengths Uniform[60, 600] aa, hit-heavy like the
+        # headline (mutated family members)
+        mlens = rngm.integers(60, 601, n_mix)
+        moff = np.zeros(n_mix + 1, np.int64)
+        np.cumsum(mlens, out=moff[1:])
+        mcodes = np.empty(int(moff[-1]), np.uint8)
+        mstarts = rngm.integers(0, corpus.shape[0] - 601, n_mix)
+        for i in range(n_mix):
+            seg = corpus[mstarts[i]:mstarts[i] + mlens[i]].copy()
+            npos = max(1, int(0.03 * mlens[i]))
+            pos = rngm.integers(0, mlens[i], npos)
+            seg[pos] = aa[rngm.integers(0, 20, npos)]
+            mcodes[moff[i]:moff[i + 1]] = seg
+        mixed_rate = onchip_batch_rate(mcodes, moff, "mx")
+        print(f"mixed-length workload (U[60,600] aa): "
+              f"{mixed_rate:,.0f} seqs/s/chip", file=sys.stderr)
+
+        # (b) low hit rate: 300-aa queries whose first 96 residues are a
+        # (mutated) family core, the rest random — ~20% of windows hit
+        # (vs ~80% in the headline); per-residue probe cost is workload-
+        # dependent in the reference too (call_functions.tcc:259-338)
+        lcodes = aa[rngm.integers(0, 20, (n_mix, SEQ_LEN))].astype(np.uint8)
+        lstarts = rngm.integers(0, corpus.shape[0] - 97, n_mix)
+        for i in range(n_mix):
+            lcodes[i, :96] = corpus[lstarts[i]:lstarts[i] + 96]
+            pos = rngm.integers(0, 96, 3)
+            lcodes[i, pos] = aa[rngm.integers(0, 20, 3)]
+        loff = (np.arange(n_mix + 1) * SEQ_LEN).astype(np.int64)
+        lowhit_rate = onchip_batch_rate(lcodes.reshape(-1), loff, "lh")
+        print(f"low-hit-rate workload (~20% windows hit): "
+              f"{lowhit_rate:,.0f} seqs/s/chip", file=sys.stderr)
+
+    # --- e2e phase attribution (VERDICT r4 weak #4) ----------------------
+    # Time one production chunk's phases SERIALIZED (pack -> H2D -> exec
+    # -> D2H -> host finalize): the per-chunk serial total x chunk count
+    # upper-bounds the pipelined e2e, and the phases name where the time
+    # over the pure link model lives (dispatch RTTs, host pack/score).
+    phase_ms = {}
+    e2e_serial_pred_s = 0.0
+    if dev.platform != "cpu":
+        sub_b = SequenceBatch(
+            flat[:offsets[chunk]], offsets[:chunk + 1].astype(np.int32),
+            ids[:chunk], [""] * chunk)
+        jsum8 = jax.jit(lambda a: a.ravel()[:8].astype(jnp.int32).sum())
+        t0 = time.perf_counter()
+        pr3, sr3, ln3 = kp.pack_u6_rows_host(
+            sub_b.codes, sub_b.offsets, chunk, L_pad)
+        phase_ms["pack"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        din3 = [jax.device_put(a) for a in (pr3, sr3, ln3)]
+        for d in din3:
+            _ = int(jsum8(d))  # sync each upload through the tunnel
+        phase_ms["h2d"] = (time.perf_counter() - t0) * 1e3
+        phase_ms["exec"] = dt_c * 1e3
+        o3 = f(*arrays, *din3)
+        _ = int(o3[0, 0])
+        t0 = time.perf_counter()
+        m3 = np.asarray(o3)
+        phase_ms["d2h"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        _ = caller._finalize_device(sub_b, m3)
+        phase_ms["finalize"] = (time.perf_counter() - t0) * 1e3
+        serial_chunk_s = sum(phase_ms.values()) * 1e-3
+        e2e_serial_pred_s = serial_chunk_s / chunk * n_queries
+        print("e2e phase attribution (serialized 4096-seq chunk): "
+              + ", ".join(f"{k} {v:.0f} ms"
+                          for k, v in phase_ms.items())
+              + f" -> serial-pred {e2e_serial_pred_s:.3f}s/batch",
+              file=sys.stderr)
+
     # --- build selection pass (device compute) --------------------------
     # The signature-build device hot loop (sort + segmented-scan
     # selection, models/signature_builder._select_signatures_jax) at
@@ -496,17 +662,16 @@ def main():
         vs_cpu_opt = value / cpu_opt_rate
         vs_cpu_mt = value / cpu_mt_rate
 
-    print(json.dumps({
+    def _phmed(name):
+        vals = build_phases.get(name)
+        return round(float(np.median(vals)), 1) if vals else 0.0
+
+    record = {
         "metric": "call_seqs_per_s_per_chip",
         "value": round(value, 1),
         "unit": "seqs/s",
         # honest denominator: the reference's authentic cmph read path
         "vs_baseline": round(vs_baseline, 2),
-        # the same ratio in the chip's fast gather state (the regime is
-        # external, two-state; gather_ns_per_row below says which state
-        # THIS run measured) — read the pair together
-        "vs_baseline_fast_state": round(
-            value_fast / cpu_ref_rate, 2) if cpu_ref_rate else 0.0,
         "cpu_ref_seqs_per_s": round(cpu_ref_rate, 1),
         # optimized CPU re-creation (faster than the real reference)
         "cpu_opt_seqs_per_s": round(cpu_opt_rate, 1),
@@ -519,9 +684,14 @@ def main():
         "vs_cpu_mt": round(vs_cpu_mt, 2),
         # gather microbenchmark state at run end + the fast-state
         # EXTRAPOLATION (state_pairing.py showed it does not transfer to
-        # full-program chunks; kept for round-over-round comparability)
+        # full-program chunks; kept for round-over-round comparability).
+        # Both *_extrapolated keys are projections, NOT measured
+        # capability — nested next to each other so neither can be read
+        # alone as a measured ratio (round-4 advisor finding).
         "gather_ns_per_row": round(gather_ns, 2),
-        "fast_state_projection_seqs_per_s": round(value_fast, 1),
+        "fast_state_extrapolated_seqs_per_s": round(value_fast, 1),
+        "vs_baseline_fast_state_extrapolated": round(
+            value_fast / cpu_ref_rate, 2) if cpu_ref_rate else 0.0,
         "e2e_over_link_seqs_per_s": round(e2e, 1),
         "e2e_over_link_vs_baseline": round(e2e_vs_baseline, 2),
         # in-run link measurement (tunnel weather) + the e2e batch time
@@ -531,6 +701,17 @@ def main():
         "link_up_mbps": round(link_up_mbps, 1),
         "link_down_mbps": round(link_down_mbps, 1),
         "e2e_pred_from_link_s": round(e2e_pred_s, 3),
+        # serialized per-chunk phase attribution (pack/H2D/exec/D2H/
+        # finalize) and the serial upper bound it implies — the measured
+        # e2e must land between e2e_pred_from_link_s (perfect overlap)
+        # and this; the phase that grew names the residual
+        "e2e_serial_pred_s": round(e2e_serial_pred_s, 3),
+        **{f"e2e_phase_{k}_ms": round(v, 1) for k, v in phase_ms.items()},
+        # realistic workloads measured like the headline (on-chip,
+        # length-sorted production chunking); the headline remains the
+        # uniform hit-heavy number — see docs/PERF.md round-5 addendum
+        "call_seqs_per_s_mixed": round(mixed_rate, 1),
+        "call_seqs_per_s_lowhit": round(lowhit_rate, 1),
         # signature-build metrics (BASELINE.json's second metric)
         "build_windows_per_s": round(build_windows_per_s, 0),
         "e2e_build_300k_norecall_s": round(
@@ -541,18 +722,45 @@ def main():
         if build_300k["recall"] else 0.0,
         "e2e_build_reps": build_reps,
         "e2e_build_n_seqs": build_n_seqs,
-        # streaming service (BASELINE config #5): real serve CLI under
-        # 16 concurrent clients x 64-seq requests (service_bench.py)
-        "service_qps": service.get("qps", 0.0),
-        "service_seqs_per_s": service.get("seqs_per_s", 0.0),
-        "service_p50_ms": service.get("lat_p50_ms", 0.0),
-        "service_p99_ms": service.get("lat_p99_ms", 0.0),
-        "service_coalesced_seqs": service.get("mean_coalesced_seqs", 0.0),
+        # per-phase MEDIANS across the recall-on reps ([build-timing]
+        # lines from the build subprocess): a 94->272 s swing is now
+        # attributable to a named phase from this record alone.  The
+        # two (overlapped) phases run on background threads and do not
+        # sum into the total.
+        "build_load_fasta_s": _phmed("load_fasta"),
+        "build_extract_s": _phmed("extract_kmers"),
+        "build_select_fetch_s": _phmed("process_kmers(select+fetch)"),
+        "build_placement_s": _phmed("table build (placement)"),
+        "build_recall_s": _phmed("recall"),
+        "build_table_save_overlapped_s": _phmed("table save (overlapped)"),
+        # link upload bandwidth measured INSIDE the recall build runs
+        # (median): device uploads ride the same tunnel, so this is the
+        # first suspect when build seconds move between rounds
+        "build_link_up_mbps": round(
+            float(np.median(build_link_up)), 1) if build_link_up else 0.0,
         # fraction of sequences re-called on the exact host path
         # (REC_CAP overflow / packing guards, ops/automaton.py) — the
         # device numbers above are honest only while this stays ~0
         "host_fallback_frac": round(caller.host_fallback_frac, 6),
-    }))
+    }
+    # streaming service (BASELINE config #5): real serve CLI under
+    # 16 concurrent clients x 64-seq requests (service_bench.py).
+    # service_* keys appear ONLY when the bench produced a measurement;
+    # a failed run records service_error instead of fake zeros.
+    if service:
+        record.update({
+            "service_qps": service.get("qps", 0.0),
+            "service_seqs_per_s": service.get("seqs_per_s", 0.0),
+            "service_p50_ms": service.get("lat_p50_ms", 0.0),
+            "service_p99_ms": service.get("lat_p99_ms", 0.0),
+            "service_p99_steady_ms": service.get("lat_p99_steady_ms", 0.0),
+            "service_call_max_ms": service.get("call_max_ms", 0.0),
+            "service_mean_batch_ms": service.get("mean_batch_call_ms", 0.0),
+            "service_coalesced_seqs": service.get("mean_coalesced_seqs", 0.0),
+        })
+    elif service_error:
+        record["service_error"] = service_error
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -59,6 +59,10 @@ def main():
     for a in sys.argv[1:]:
         if a.isdigit():
             n_seqs = int(a)
+    # per-phase timings on stderr ([build-timing] lines) — bench.py
+    # parses them into build_*_s medians so a build-time swing in the
+    # driver record is attributable to a named phase (VERDICT r4 #3)
+    os.environ.setdefault("SKT_BUILD_TIMING", "1")
 
     n_genomes = 100
     n_seqs = (n_seqs // n_genomes) * n_genomes  # what the corpus holds
@@ -77,6 +81,28 @@ def main():
         shutil.rmtree(out)
 
     from signature_kmers_tpu.cli.main import main as cli_main
+
+    # the link bandwidth AT BUILD TIME: device uploads ride the same
+    # tunnel as the call bench, and tunnel weather is the leading cause
+    # of run-to-run build-time swings — measure it in THIS process so
+    # the record carries the link the build actually saw
+    try:
+        import jax
+        import numpy as _np
+
+        _mb = 16
+        _jnull = jax.jit(lambda a: (a[:8] & 1).sum())
+        _ = int(_jnull(jax.device_put(_np.zeros(1024, _np.int32))))
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.time()
+            d = jax.device_put(_np.zeros((_mb << 20) // 4, dtype=_np.int32))
+            _ = int(_jnull(d))
+            best = min(best, time.time() - t0)
+            del d
+        print(f"[build-link] up {_mb / best:.1f} MB/s", flush=True)
+    except Exception as e:  # pragma: no cover - probe is best-effort
+        print(f"[build-link] probe failed: {e!r}", flush=True)
 
     args = ["build-signatures",
             "-D", str(root / "Annotations"),

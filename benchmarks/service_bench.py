@@ -100,9 +100,12 @@ def main():
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
+    # --warm: pre-compile the pow2-rows dispatch-shape grid at startup —
+    # without it a mid-run first-shape compile lands in the p99 tail
+    # (round-4 driver record: p99 816.8 ms unwarmed vs 231 ms warmed)
     proc = subprocess.Popen(
         [sys.executable, "-m", "signature_kmers_tpu.cli.main",
-         "serve", "-d", str(data), "--port", str(port)],
+         "serve", "-d", str(data), "--port", str(port), "--warm", "384"],
         cwd=str(Path(__file__).resolve().parents[1]),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     try:
@@ -143,7 +146,10 @@ def main():
                     return  # a dead thread deflates qps: flag it below
                 dt = time.perf_counter() - t0
                 with lat_lock:
-                    latencies.append(dt)
+                    # completion wall time too: lets the report split the
+                    # tail into run-start (residual warmup / first table
+                    # touch) vs steady-state (queueing)
+                    latencies.append((dt, time.time()))
 
         t_start = time.time()
         threads = [threading.Thread(target=client, args=(c,))
@@ -160,15 +166,23 @@ def main():
 
         for msg in client_errors:
             print(f"CLIENT ERROR: {msg}", file=sys.stderr)
-        lat = np.sort(np.asarray(latencies))
-        n_req = lat.shape[0]
+        n_req = len(latencies)
         if n_req == 0:
             print(json.dumps({"error": "no requests completed",
                               "client_errors": client_errors[:5]}),
                   flush=True)
             return
+        lat = np.sort(np.asarray([d for d, _t in latencies]))
+        # steady-state tail: requests completing after the first quarter
+        # of the run — a residual start-of-run stall (first real-table
+        # touch, link hiccup) then cannot masquerade as steady queueing
+        t_steady = t_start + elapsed * 0.25
+        steady = np.sort(np.asarray(
+            [d for d, t in latencies if t >= t_steady]))
         batches = int(sizes1["query_batches"]) - int(sizes0["query_batches"])
         seqs = int(sizes1["query_seqs"]) - int(sizes0["query_seqs"])
+        call_ms = (float(sizes1.get("query_call_ms", 0))
+                   - float(sizes0.get("query_call_ms", 0)))
         result = {
             "n_clients": n_clients,
             "seqs_per_req": seqs_per_req,
@@ -179,12 +193,26 @@ def main():
             "lat_p95_ms": round(float(lat[int(n_req * 0.95)]) * 1e3, 1),
             "lat_p99_ms": round(float(lat[min(n_req - 1,
                                               int(n_req * 0.99))]) * 1e3, 1),
+            # tail attribution: steady-state p99 (post-startup window),
+            # the slowest single device dispatch, and the mean dispatch —
+            # p99 ~= p50 + call_max says "one stalled dispatch";
+            # p99_steady >> mean_batch says "queue depth"
+            "lat_p99_steady_ms": round(float(
+                steady[min(steady.shape[0] - 1,
+                           int(steady.shape[0] * 0.99))]) * 1e3, 1)
+            if steady.shape[0] else 0.0,
+            "call_max_ms": round(
+                float(sizes1.get("query_call_max_ms", 0)), 1),
+            # the max BEFORE the measured window (warmup query): when
+            # call_max_ms == this, no in-window dispatch stalled
+            "call_max_warmup_ms": round(
+                float(sizes0.get("query_call_max_ms", 0)), 1),
+            "mean_batch_call_ms": round(call_ms / max(1, batches), 1),
             "coalesced_batches": batches,
             "mean_coalesced_seqs": round(seqs / max(1, batches), 1),
             # cumulative wall ms inside call_batch across the run; with
             # overlapped dispatch (query_depth 2) this can exceed elapsed
-            "call_ms": round(float(sizes1.get("query_call_ms", 0))
-                             - float(sizes0.get("query_call_ms", 0)), 1),
+            "call_ms": round(call_ms, 1),
             "dispatch_depth": int(sizes1.get("query_depth", 1)),
             "elapsed_s": round(elapsed, 1),
             # clients that died mid-run silently deflate qps — flag them

@@ -65,6 +65,19 @@ _dispatch_lock = threading.RLock()
 _quit_sent = False
 
 
+def reset_quit() -> None:
+    """Re-arm the fleet after a serve()/quit cycle.
+
+    The quit latch is module state (it guards module-level broadcast
+    functions); without a reset, any LATER multihost AnnotationService
+    constructed in the same process would get a permanent RuntimeError
+    on every dispatch.  Called when a new multihost service is built
+    (every rank constructs one before serving / following)."""
+    global _quit_sent
+    with _dispatch_lock:
+        _quit_sent = False
+
+
 def _check_live() -> None:
     if _quit_sent:
         raise RuntimeError("multihost service is shutting down "

@@ -86,6 +86,7 @@ class _QueryBatcher:
         self.batches_run = 0  # observability / tests
         self.seqs_run = 0     # total sequences across coalesced batches
         self.call_ms = 0.0    # cumulative wall ms inside call_batch
+        self.call_max_ms = 0.0  # slowest single dispatch (tail attribution)
         self._drain_tasks: set = set()  # strong refs: bare tasks can be GC'd
 
     async def query(self, body: bytes) -> str:
@@ -112,20 +113,23 @@ class _QueryBatcher:
         try:
             while self.pending:
                 work, self.pending = self.pending, []
-                batches = [b for b, _ in work]
-                merged = fasta_io.SequenceBatch(
-                    codes=np.concatenate([b.codes for b in batches]),
-                    offsets=np.concatenate(
-                        [batches[0].offsets]
-                        + [b.offsets[1:] + off for b, off in zip(
-                            batches[1:],
-                            np.cumsum([int(b.offsets[-1])
-                                       for b in batches])[:-1])]
-                    ).astype(np.int32),
-                    ids=[i for b in batches for i in b.ids],
-                    deflines=[d for b in batches for d in b.deflines],
-                )
                 try:
+                    # merge INSIDE the try: a failure here must fail this
+                    # round's waiters, not kill the worker and strand
+                    # every coalesced client until timeout
+                    batches = [b for b, _ in work]
+                    merged = fasta_io.SequenceBatch(
+                        codes=np.concatenate([b.codes for b in batches]),
+                        offsets=np.concatenate(
+                            [batches[0].offsets]
+                            + [b.offsets[1:] + off for b, off in zip(
+                                batches[1:],
+                                np.cumsum([int(b.offsets[-1])
+                                           for b in batches])[:-1])]
+                        ).astype(np.int32),
+                        ids=[i for b in batches for i in b.ids],
+                        deflines=[d for b in batches for d in b.deflines],
+                    )
                     # single-host: one lock-free engines-snapshot read —
                     # an /add that lands mid-batch swaps the attribute
                     # for the NEXT batch while this one finishes on its
@@ -135,7 +139,9 @@ class _QueryBatcher:
                     t0 = time.perf_counter()
                     results = await loop.run_in_executor(
                         None, self.service._call_batch, merged)
-                    self.call_ms += (time.perf_counter() - t0) * 1e3
+                    dt_ms = (time.perf_counter() - t0) * 1e3
+                    self.call_ms += dt_ms
+                    self.call_max_ms = max(self.call_max_ms, dt_ms)
                     self.batches_run += 1
                     self.seqs_run += len(merged)
                 except Exception as exc:  # noqa: BLE001 — fail all waiters
@@ -178,6 +184,12 @@ class AnnotationService:
         self.data_dir = data_dir
         self.mesh = mesh
         self.multihost = multihost
+        if multihost:
+            # re-arm the module-level quit latch: a service built after a
+            # previous serve()/quit cycle in this process must dispatch
+            from .multihost import reset_quit
+
+            reset_quit()
         table, self.function_index = pipeline.load_data_dir(
             data_dir, config)
         self.engines = self._make_engines(table)
@@ -433,6 +445,7 @@ class AnnotationService:
                 f"query_batches\t{self.batcher.batches_run}\n"
                 f"query_seqs\t{self.batcher.seqs_run}\n"
                 f"query_call_ms\t{self.batcher.call_ms:.1f}\n"
+                f"query_call_max_ms\t{self.batcher.call_max_ms:.1f}\n"
                 f"query_depth\t{self.batcher.depth}\n")
 
     def genus_lookup_text(self, genus: str) -> str:

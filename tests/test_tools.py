@@ -347,12 +347,23 @@ class TestQueryBatcher:
         orig = caller.call_batch
         state = {"cur": 0, "max": 0}
         lock = threading.Lock()
+        # event-synchronized (not wall-clock): each dispatch announces
+        # itself and then blocks on `gate`, so the test KNOWS when batch
+        # 1 is in the executor and when batch 2 runs concurrently — no
+        # sleep/timing race on a loaded CI host
+        entered = [threading.Event(), threading.Event()]
+        gate = threading.Event()
+        n_entries = [0]
 
         def slow(batch, *a, **k):
             with lock:
                 state["cur"] += 1
                 state["max"] = max(state["max"], state["cur"])
-            time.sleep(0.3)
+                i = n_entries[0]
+                n_entries[0] += 1
+            if i < len(entered):
+                entered[i].set()
+            assert gate.wait(30)
             try:
                 return orig(batch, *a, **k)
             finally:
@@ -364,13 +375,19 @@ class TestQueryBatcher:
         seqs = [_rand_prot(r, 220) for _ in range(3)]
 
         async def run():
+            loop = asyncio.get_event_loop()
             t1 = asyncio.ensure_future(
                 svc.batcher.query(f">a\n{seqs[0]}\n".encode()))
-            await asyncio.sleep(0.1)  # t1 is now inside the executor
+            # deterministic: batch 1 is inside the executor NOW
+            await loop.run_in_executor(None, entered[0].wait, 30)
             t2 = asyncio.ensure_future(
                 svc.batcher.query(f">b\n{seqs[1]}\n".encode()))
             t3 = asyncio.ensure_future(
                 svc.batcher.query(f">c\n{seqs[2]}\n".encode()))
+            # batch 2 (t2+t3 coalesced) dispatched while batch 1 is
+            # still blocked on the gate -> provably concurrent
+            await loop.run_in_executor(None, entered[1].wait, 30)
+            gate.set()
             return await asyncio.gather(t1, t2, t3)
 
         outs = asyncio.run(run())
