@@ -36,7 +36,10 @@ N_SEQS_CORPUS = 30_000
 
 def ensure_data() -> Path:
     root = Path("/tmp/skt_service_data")
-    marker = root / ".done"
+    # marker versioned: v2 = sub-cliff wide layout (the ~4.4M-key service
+    # table now sizes its main store <= 64 MB; stale caches would keep
+    # benchmarking the old 268 MB slow-state layout)
+    marker = root / ".done_v2"
     if marker.exists():
         return root / "kmer_data"
     import shutil

@@ -158,6 +158,9 @@ class MatrixDistance:
         device; only the (B, L) found mask returns to the host (the raw
         value words are ~20x the mask's bytes and the link is the
         bottleneck)."""
+        mc = getattr(self, "mesh_caller", None)
+        if mc is not None:
+            return self._gather_mesh(mc, codes, lengths)
         if self.use_device:
             import jax
             import jax.numpy as jnp
@@ -262,6 +265,37 @@ class MatrixDistance:
         okl = (seqlen >= mean - stddev * w) & (seqlen <= mean + stddev * w)
         return found & okl
 
+    def _gather_mesh(self, mc, codes, lengths):
+        """Hit gathering against the TP-SHARDED table via a
+        ParallelFunctionCaller (`self.mesh_caller`, set by the mesh
+        service): the /matrix endpoint then never requires the table to
+        fit one device (ref surface: kser_request.cc:444-467
+        MatrixRequest).  The distance filters are the same ones the
+        single-device program applies (matrix_distance.h:52-88), in
+        their exact integer forms at the reference defaults."""
+        found, func, mean, _avg, _median, var = mc.gather_hits_batch(
+            codes, lengths, need_aux=True)
+        # hypothetical hits never count (matrix_distance.h:88)
+        found = found & (func != self.hypo_index)
+        seqlen = np.asarray(lengths).astype(np.int64)[:, None]
+        mean_i = mean.astype(np.int64)
+        var_i = var.astype(np.int64)
+        d = seqlen - mean_i
+        w = self.config.len_sigma_window
+        frac = self.config.zero_var_len_frac
+        if w == 2.0 and frac == 0.1:
+            # exact integer forms (see the device program above)
+            dc = np.minimum(np.abs(d), 1024)
+            okl = np.where(var_i == 0,
+                           5 * np.abs(d) <= seqlen,
+                           dc * dc <= 4 * var_i)
+        else:
+            sl = seqlen.astype(np.float32)
+            stddev = np.where(var_i == 0, sl * np.float32(frac),
+                              np.sqrt(var_i.astype(np.float32)))
+            okl = np.abs(d.astype(np.float32)) <= np.float32(w) * stddev
+        return found & okl
+
     def _pack_seq_block(self, kk, sj, nkb: int, kblock: int, cap: int):
         """Entries of one sequence block (kmer-sorted) -> (nkb, cap)
         kmer-rel / seq-rel / valid arrays for the device scan."""
@@ -363,18 +397,39 @@ class MatrixDistance:
             cap = max(cap, int(cnt.max()))
         cap = 1 << (cap - 1).bit_length()
 
+        if mesh is not None:
+            # spanning-mesh-safe placement + replicated read (see
+            # _pair_counts mesh branch)
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel import distributed
+
+            spec = P(("dp", "tp"))
+
+            def up(x):
+                return distributed.put_global(mesh, spec, x)
+
+            def down(c):
+                return distributed.fetch_replicated(c)
+        else:
+            def up(x):
+                return jnp.asarray(x)
+
+            def down(c):
+                return np.asarray(c)
+
         packs = []
         for j in range(nsb):
             a, b = int(blk_start[j]), int(blk_start[j + 1])
             kr, sr, v = self._pack_seq_block(
                 kk[a:b], ss[a:b] - j * sblk, nkb_pad, kblock, cap)
-            packs.append(tuple(jnp.asarray(x) for x in (kr, sr, v)))
+            packs.append(tuple(up(x) for x in (kr, sr, v)))
 
         fn = self._tile_fn(kblock, sblk, mesh)
         pairs = []
         for i in range(nsb):
             for j in range(i, nsb):
-                C = np.asarray(fn(*packs[i], *packs[j]))
+                C = down(fn(*packs[i], *packs[j]))
                 if i == j:
                     a1, a2 = np.nonzero(np.triu(C, k=1))
                 else:
@@ -485,9 +540,18 @@ class MatrixDistance:
                     in_specs=(P(("dp", "tp")), P(("dp", "tp")),
                               P(("dp", "tp"))),
                     out_specs=P()))
-                C = fn(jnp.asarray(kk_rel), jnp.asarray(ssb),
-                       jnp.asarray(val))
-                return np.asarray(C).astype(np.int64)
+                # explicit global placement + replicated read: works on
+                # process-SPANNING meshes too (each rank passes the same
+                # host arrays; the psum'd result is replicated, so the
+                # read is local — multihost /matrix runs this same
+                # program on every rank, service/multihost.py OP_MATRIX)
+                from ..parallel import distributed
+
+                spec = P(("dp", "tp"))
+                C = fn(distributed.put_global(mesh, spec, kk_rel),
+                       distributed.put_global(mesh, spec, ssb),
+                       distributed.put_global(mesh, spec, val))
+                return distributed.fetch_replicated(C).astype(np.int64)
 
             C = jax.jit(scan_blocks)(jnp.asarray(kk_rel), jnp.asarray(ssb),
                                      jnp.asarray(val))

@@ -157,6 +157,28 @@ def put_global(mesh, spec, arr):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def fetch_replicated(x) -> "np.ndarray":
+    """Read a REPLICATED device array to host without any collective.
+
+    For fully-addressable arrays this is a plain conversion.  On a
+    process-spanning mesh a replicated array (out_specs P(None, ...)) is
+    not "fully addressable", but every process holds complete replicas —
+    one local shard read returns the whole value.  This is what lets
+    multihost serve collect results outside the dispatch-order lock:
+    collection issues no Gloo/ICI traffic at all."""
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shard = x.addressable_shards[0]
+    arr = np.asarray(shard.data)
+    if arr.shape != x.shape:
+        raise ValueError(
+            f"fetch_replicated: array is not replicated (local shard "
+            f"{arr.shape} != global {x.shape}); use fetch_global")
+    return arr
+
+
 def fetch_global(x) -> "np.ndarray":
     """Read a device array back to host on every process.
 

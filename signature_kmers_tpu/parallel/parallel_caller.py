@@ -40,10 +40,11 @@ class ShardedBucketTable:
     Each shard carries its own cuckoo salt (builds converge
     independently); probes read the local shard's salt."""
 
-    def __init__(self, packed, salts, n_items: int):
+    def __init__(self, packed, salts, n_items: int, aux=None):
         self.packed = packed  # (tp, nb, 3*slots)
         self.salts = salts    # (tp,) uint32
         self.n_items = n_items
+        self.aux = aux        # (tp, nb, 3*slots) value words (lookup path)
 
     @property
     def n_shards(self):
@@ -60,7 +61,8 @@ class ShardedBucketTable:
         if n_shards == 1:
             return ShardedBucketTable(
                 table.packed[None],
-                np.asarray([table.salt], dtype=np.uint32), table.n_items)
+                np.asarray([table.salt], dtype=np.uint32), table.n_items,
+                aux=table.aux[None])
         bits = n_shards.bit_length() - 1
         from ..core.config import TableConfig
         from ..ops import hashing
@@ -96,7 +98,8 @@ class ShardedBucketTable:
         return ShardedBucketTable(
             np.stack([t.packed for t in parts]),
             np.asarray([t.salt for t in parts], dtype=np.uint32),
-            int(hi.shape[0]))
+            int(hi.shape[0]),
+            aux=np.stack([t.aux for t in parts]))
 
     # -- uniform sharded-probe interface ------------------------------------
 
@@ -112,6 +115,21 @@ class ShardedBucketTable:
         tpacked, tsalt = tabs
         return probe_ops.probe_bucket(tpacked[0], whi, wlo, tsalt[0], None)
 
+    # full-value probe (lookup path: /lookup needs median/var words too)
+
+    def aux_arrays(self):
+        return (self.packed, self.aux, self.salts)
+
+    def aux_in_specs(self, P):
+        return (P("tp", None, None), P("tp", None, None), P("tp"))
+
+    def probe_aux(self, tabs, whi, wlo):
+        from ..ops import probe as probe_ops
+
+        tpacked, taux, tsalt = tabs
+        return probe_ops.probe_bucket(tpacked[0], whi, wlo, tsalt[0],
+                                      taux[0])
+
 
 class ShardedWideTable:
     """Per-shard WideKmerTables stacked for shard_map (production layout).
@@ -121,7 +139,8 @@ class ShardedWideTable:
     common (ov_bits, max-occupancy-across-shards) shape."""
 
     def __init__(self, packed, ov_packed, salts, ov_salts,
-                 bits: int, ov_bits: int, n_items: int, ov_any: bool):
+                 bits: int, ov_bits: int, n_items: int, ov_any: bool,
+                 aux=None, ov_aux=None):
         self.packed = packed        # (tp, nb, 2*S)
         self.ov_packed = ov_packed  # (tp, nbo, 2*So)
         self.salts = salts          # (tp,) uint32
@@ -130,6 +149,8 @@ class ShardedWideTable:
         self.ov_bits = ov_bits
         self.n_items = n_items
         self.ov_any = ov_any
+        self.aux = aux              # (tp, nb, 3*S) value words (lookup)
+        self.ov_aux = ov_aux        # (tp, nbo, 3*So)
 
     @property
     def n_shards(self):
@@ -144,7 +165,8 @@ class ShardedWideTable:
                 np.asarray([table.salt], np.uint32),
                 np.asarray([table.ov_salt], np.uint32),
                 table.bits, table.ov_bits, table.n_items,
-                table.ov_items > 0)
+                table.ov_items > 0,
+                aux=table.aux[None], ov_aux=table.ov_aux[None])
         from ..ops import hashing
         from ..table import wide_table as wt
 
@@ -156,12 +178,13 @@ class ShardedWideTable:
         want = int(int(counts.max()) / (S * cfg.main_load)) + 1
         bits = max(cfg.min_bits, hashing.next_pow2(want).bit_length() - 1)
 
-        mains, leftovers = [], []
+        mains, main_auxes, leftovers = [], [], []
         for s in range(n_shards):
             m = owner == s
-            packed_s, _aux, lx = wt._place_tagged(
+            packed_s, aux_s, lx = wt._place_tagged(
                 hi[m], lo[m], v0[m], v1[m], v2[m], bits, wt._SALT_BASE, S)
             mains.append(packed_s)
+            main_auxes.append(aux_s)
             leftovers.append((hi[m][lx], lo[m][lx], v0[m][lx],
                               v1[m][lx], v2[m][lx]))
         salts = np.full(n_shards, wt._SALT_BASE, dtype=np.uint32)
@@ -170,6 +193,7 @@ class ShardedWideTable:
         ov_any = nmax > 0
         if not ov_any:
             ovs = [np.full((1, 2), wt.EMPTY, np.uint32)] * n_shards
+            ov_auxes = [np.zeros((1, 3), np.uint32)] * n_shards
             ov_salts = np.full(n_shards, wt._SALT_BASE, dtype=np.uint32)
             ov_bits = 17
         else:
@@ -185,37 +209,42 @@ class ShardedWideTable:
                 if r is None:  # sentinel collision on every salt: widen
                     ov_bits += 1
                     return ShardedWideTable._with_leaves(
-                        mains, salts, leftovers, bits, ov_bits,
+                        mains, main_auxes, salts, leftovers, bits, ov_bits,
                         int(hi.shape[0]))
                 chosen.append(r)
             S_ov = max(1, max(mx for _, mx in chosen))
-            ovs = []
+            ovs, ov_auxes = [], []
             for (l, (salt_s, _mx)) in zip(leftovers, chosen):
-                p, _a, rest = wt._place_tagged(*l, ov_bits, salt_s, S_ov)
+                p, a, rest = wt._place_tagged(*l, ov_bits, salt_s, S_ov)
                 assert rest.shape[0] == 0
                 ovs.append(p)
+                ov_auxes.append(a)
             ov_salts = np.asarray([s for s, _ in chosen], dtype=np.uint32)
         return ShardedWideTable(np.stack(mains), np.stack(ovs), salts,
                                 ov_salts, bits, ov_bits, int(hi.shape[0]),
-                                ov_any)
+                                ov_any, aux=np.stack(main_auxes),
+                                ov_aux=np.stack(ov_auxes))
 
     @staticmethod
-    def _with_leaves(mains, salts, leftovers, bits, ov_bits, n_items):
+    def _with_leaves(mains, main_auxes, salts, leftovers, bits, ov_bits,
+                     n_items):
         from ..table import wide_table as wt
 
         chosen = [wt.leaf_salt(l[0], l[1], ov_bits)
                   if l[0].shape[0] else (wt._SALT_BASE, 1)
                   for l in leftovers]
         S_ov = max(1, max(mx for _, mx in chosen))
-        ovs = []
+        ovs, ov_auxes = [], []
         for (l, (salt_s, _mx)) in zip(leftovers, chosen):
-            p, _a, rest = wt._place_tagged(*l, ov_bits, salt_s, S_ov)
+            p, a, rest = wt._place_tagged(*l, ov_bits, salt_s, S_ov)
             assert rest.shape[0] == 0
             ovs.append(p)
+            ov_auxes.append(a)
         return ShardedWideTable(
             np.stack(mains), np.stack(ovs), salts,
             np.asarray([s for s, _ in chosen], dtype=np.uint32),
-            bits, ov_bits, n_items, True)
+            bits, ov_bits, n_items, True, aux=np.stack(main_auxes),
+            ov_aux=np.stack(ov_auxes))
 
     # -- uniform sharded-probe interface ------------------------------------
 
@@ -232,6 +261,24 @@ class ShardedWideTable:
         return probe_ops.probe_wide(
             packed[0], ovp[0], whi, wlo, salts[0], ov_salts[0],
             self.bits, self.ov_bits, ov_empty=not self.ov_any)
+
+    # full-value probe (lookup path: /lookup needs median/var words too)
+
+    def aux_arrays(self):
+        return (self.packed, self.ov_packed, self.aux, self.ov_aux,
+                self.salts, self.ov_salts)
+
+    def aux_in_specs(self, P):
+        return (P("tp", None, None),) * 4 + (P("tp"), P("tp"))
+
+    def probe_aux(self, tabs, whi, wlo):
+        from ..ops import probe as probe_ops
+
+        packed, ovp, aux, ov_aux, salts, ov_salts = tabs
+        return probe_ops.probe_wide(
+            packed[0], ovp[0], whi, wlo, salts[0], ov_salts[0],
+            self.bits, self.ov_bits, aux=aux[0], ov_aux=ov_aux[0],
+            ov_empty=not self.ov_any)
 
 
 class ParallelFunctionCaller(FunctionCaller):
@@ -251,7 +298,8 @@ class ParallelFunctionCaller(FunctionCaller):
         else:
             self.stable = ShardedBucketTable.from_table(table, self.ntp)
         self._pjit = {}
-        self._tab_in = None  # device placement cache (table is immutable)
+        self._tab_in = None      # device placement cache (table immutable)
+        self._tab_aux_in = None  # + value words (lookup path), lazy
 
     def _parallel_fn(self, L: int, F: int, W: int | None = None):
         W = L if W is None else W
@@ -275,6 +323,7 @@ class ParallelFunctionCaller(FunctionCaller):
             rows = self.device_config.call_batch  # rows per dp shard
             stable = self.stable
             n_tab = len(stable.arrays())
+            ndp = self.ndp
 
             def shard_fn(*args):
                 # args[:n_tab]: local tp shard of the table arrays
@@ -309,13 +358,30 @@ class ParallelFunctionCaller(FunctionCaller):
                     cfg.min_hits, cfg.max_gap, cfg.k,
                     mad_floor=cfg.mad_floor, len_window=cfg.len_mad_window)
                 packed_out = automaton_ops.pack_records(out, lengths)
-                return packed_out[None]  # (1, rows, PACKED_WORDS)
+                # gather the dp shards IN-PROGRAM: the output is then
+                # replicated on every device, so reading results is a
+                # purely LOCAL replica read on every process — no
+                # process_allgather collective after the launch.  That
+                # is what lets multihost serve overlap dispatches: all
+                # collectives of a call live in this one program,
+                # enqueued in ticket order under the broadcast lock,
+                # while result collection happens lock-free
+                # (service/multihost.py).  Records are small
+                # (PACKED_WORDS = 49 int32/row), so replication costs
+                # ~n_dp x rows x 196 B per device.  scatter + psum
+                # rather than all_gather: psum's result is statically
+                # replication-typed (all_gather output stays
+                # axis-varying under shard_map's vma check).
+                full = jnp.zeros((ndp,) + packed_out.shape,
+                                 packed_out.dtype)
+                full = full.at[jax.lax.axis_index("dp")].set(packed_out)
+                return jax.lax.psum(full, "dp")
 
             fn = shard_map(
                 shard_fn, mesh=self.mesh,
                 in_specs=(*stable.in_specs(P), P("dp", None, None),
                           P("dp", None), P("dp", None)),
-                out_specs=P("dp", None, None),
+                out_specs=P(None, None, None),
             )
             self._pjit[key] = jax.jit(fn)
         return self._pjit[key]
@@ -323,12 +389,158 @@ class ParallelFunctionCaller(FunctionCaller):
     def call_batch(self, batch: fasta_io.SequenceBatch,
                    keep_hits: bool = False):
         """Sharded call over the mesh.  On a process-spanning mesh every
-        process passes the same batch (device_put fills the local shards)
-        and receives the full result list (tiled allgather) — exercised
-        by tests/test_multiprocess.py over real jax.distributed
-        processes."""
+        process passes the same batch (device_put fills the local
+        shards) and reads the full result from its local replica (the
+        program all-gathers the dp shards on-device) — exercised by
+        tests/test_multiprocess.py over real jax.distributed processes.
+
+        Split into :meth:`dispatch_batch` (every collective: input
+        placement + program launches) and :meth:`collect_batch` (local
+        replica reads + host scoring) so multihost serve can issue
+        dispatches in ticket order under its broadcast lock while
+        earlier batches' results are still being read."""
+        return self.collect_batch(self.dispatch_batch(batch, keep_hits))
+
+    def _placed_tables(self, aux: bool):
+        """Device placement of the sharded table arrays, once per CALLER
+        (the sharded table is immutable; /add swaps in a whole new
+        caller) — re-uploading GBs per batch would dominate serve --mesh
+        request latency.  Double-checked under the cache lock: concurrent
+        first dispatches (serve depth > 1) must not upload twice.  The
+        aux (full value words) placement is separate and lazy: only the
+        /lookup path needs it."""
+        from jax.sharding import PartitionSpec as P
+
+        from . import distributed
+
+        attr = "_tab_aux_in" if aux else "_tab_in"
+        if getattr(self, attr) is None:
+            with self._cache_lock:
+                if getattr(self, attr) is None:
+                    specs = (self.stable.aux_in_specs(P) if aux
+                             else self.stable.in_specs(P))
+                    arrs = (self.stable.aux_arrays() if aux
+                            else self.stable.arrays())
+                    setattr(self, attr, [
+                        distributed.put_global(self.mesh, spec, a)
+                        for spec, a in zip(specs, arrs)])
+        return getattr(self, attr)
+
+    def _lookup_fn(self, L: int, need_aux: bool):
+        """Mesh-sharded hit-gather program for the /lookup path: codes
+        dp-sharded, table tp-sharded, outputs replicated in-program (one
+        collective program; collection is a local replica read).  Unlike
+        the call program this returns the per-window hit mask + value
+        words, so rank 0 can emit per-hit rows
+        (ref: kser_request.cc:446-467 LookupRequest)."""
+        key = ("lookup", L, need_aux)
+        if key in self._pjit:
+            return self._pjit[key]
+        with self._cache_lock:
+            if key in self._pjit:
+                return self._pjit[key]
+            import jax
+            import jax.numpy as jnp
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..ops import kmer_pack
+
+            stable = self.stable
+            n_tab = len(stable.aux_arrays() if need_aux
+                        else stable.arrays())
+            ndp = self.ndp
+
+            def shard_fn(*args):
+                tabs = args[:n_tab]
+                codes_l, lens_l = args[n_tab:]
+                win = kmer_pack.pack_windows(codes_l, lens_l)
+                if need_aux:
+                    found, fm, r0, r1, r2 = stable.probe_aux(
+                        tabs, win["hi"], win["lo"])
+                    extras = (r0, r1, r2)
+                else:
+                    found, fm = stable.probe(tabs, win["hi"], win["lo"])
+                    extras = ()
+                found_u = jax.lax.psum(found.astype(jnp.uint32), "tp")
+                fm = jax.lax.psum(jnp.where(found, fm, 0), "tp")
+                extras = tuple(
+                    jax.lax.psum(jnp.where(found, x, 0), "tp")
+                    for x in extras)
+                found = ((found_u > 0) & win["call_valid"]).astype(
+                    jnp.uint8)
+                outs = (found, fm) + extras
+
+                def repl(x):  # scatter + psum: statically replicated
+                    full = jnp.zeros((ndp,) + x.shape, x.dtype)
+                    full = full.at[jax.lax.axis_index("dp")].set(x)
+                    return jax.lax.psum(full, "dp")
+
+                return tuple(repl(o) for o in outs)
+
+            specs = (stable.aux_in_specs(P) if need_aux
+                     else stable.in_specs(P))
+            n_out = 5 if need_aux else 2
+            fn = shard_map(
+                shard_fn, mesh=self.mesh,
+                in_specs=(*specs, P("dp", None), P("dp")),
+                out_specs=(P(None, None, None),) * n_out)
+            self._pjit[key] = jax.jit(fn)
+        return self._pjit[key]
+
+    def gather_hits_batch(self, codes: np.ndarray, lengths: np.ndarray,
+                          need_aux: bool = False):
+        """Mesh-sharded override of FunctionCaller.gather_hits_batch:
+        the /lookup (keep_hits) path probes the TP-SHARDED table instead
+        of falling back to one local device — a table big enough to
+        need sharding (the motivating case for the mesh service) can
+        now serve /lookup and /matrix hit-gathering too."""
+        from jax.sharding import PartitionSpec as P  # noqa: F401
+
+        from ..core import alphabet
+        from ..models.function_caller import unpack_value_words
+        from . import distributed
+
+        B0, L = codes.shape
+        pad = (-B0) % self.ndp
+        if pad:
+            codes = np.concatenate([
+                codes, np.full((pad, L), alphabet.INVALID_CODE, np.uint8)])
+            lengths = np.concatenate([
+                np.asarray(lengths),
+                np.zeros(pad, np.asarray(lengths).dtype)])
+        fn = self._lookup_fn(L, need_aux)
+        tab_in = self._placed_tables(need_aux)
+        mesh = self.mesh
+        outs = fn(*tab_in,
+                  distributed.put_global(mesh, P("dp", None),
+                                         np.ascontiguousarray(codes)),
+                  distributed.put_global(mesh, P("dp"),
+                                         np.ascontiguousarray(lengths)))
+        host = [distributed.fetch_replicated(o) for o in outs]
+        # (ndp, B/ndp, L) -> (B, L), drop padding rows
+        host = [h.reshape(-1, h.shape[-1])[:B0] for h in host]
+        found = host[0].astype(bool)
+        fm = host[1]
+        func = (fm >> 16).astype(np.int32)
+        mean = (fm & 0xFFFF).astype(np.int32)
+        if not need_aux:
+            return found, func, mean
+        avg, _f, _m, median, var = unpack_value_words(
+            host[2], host[3], host[4])
+        return found, func, mean, avg, median, var
+
+    def dispatch_batch(self, batch: fasta_io.SequenceBatch,
+                       keep_hits: bool = False):
+        """Run every collective phase of a call: place inputs on the
+        mesh and launch the fused per-round programs.  Returns an opaque
+        handle for :meth:`collect_batch`.  On a process-spanning mesh
+        every process must call this with the same batch, in the same
+        dispatch order."""
         if keep_hits:
-            return super().call_batch(batch, keep_hits=True)
+            # local fallback path (no collectives): results computed
+            # eagerly, handle carries them through
+            return ("local", super().call_batch(batch, keep_hits=True))
         from jax.sharding import PartitionSpec as P
 
         from . import distributed
@@ -350,20 +562,7 @@ class ParallelFunctionCaller(FunctionCaller):
             batch = self._permute_batch(batch, order)
         results = []
         pending = []
-        # table placement once per CALLER (the sharded table is
-        # immutable; /add swaps in a whole new caller) — re-uploading
-        # GBs per batch would dominate serve --mesh request latency
-        if self._tab_in is None:
-            # double-checked under the cache lock: concurrent first
-            # dispatches (serve depth > 1) must not upload the multi-GB
-            # sharded table twice
-            with self._cache_lock:
-                if self._tab_in is None:
-                    self._tab_in = [
-                        distributed.put_global(self.mesh, spec, a)
-                        for spec, a in zip(self.stable.in_specs(P),
-                                           self.stable.arrays())]
-        tab_in = self._tab_in
+        tab_in = self._placed_tables(False)
         for s in range(0, max(n, 1), per_round):
             e = min(s + per_round, n)
             subs = []
@@ -408,8 +607,21 @@ class ParallelFunctionCaller(FunctionCaller):
                      distributed.put_global(mesh, P("dp", None),
                                             np.stack([o[1] for o in offs])))
             pending.append((subs, out))
+        return ("mesh", order, pending)
+
+    def collect_batch(self, handle):
+        """Read a dispatched call's results (local replica read — no
+        collectives, safe outside any dispatch-order lock) and run the
+        host scoring."""
+        from . import distributed
+
+        if handle[0] == "local":
+            return handle[1]
+        _tag, order, pending = handle
+        results = []
         for subs, out in pending:
-            m = distributed.fetch_global(out)  # (dp, rows, PACKED_WORDS)
+            # replicated output: every process holds the full value
+            m = distributed.fetch_replicated(out)  # (dp, rows, WORDS)
             for d, sub in enumerate(subs):
                 if len(sub):
                     results.extend(self._finalize_device(sub, m[d]))

@@ -14,13 +14,20 @@ program on their devices.  ``multihost_utils.broadcast_one_to_all``
 carries the host data over the distributed runtime (two phases: a fixed
 header with op + shapes, then the shaped payload).
 
-Scope: POST /query (the coalesced batch path), /fq_lookup and /add run
-on the spanning mesh; endpoints whose compute is host-side (version,
-dump_*, genus_lookup, mapping/*, checkpoint) answer on rank 0 alone.
-/lookup (keep_hits) and /matrix fall back to rank 0's local device —
-exact, but not table-sharded (they inherit ParallelFunctionCaller's own
-keep_hits fallback).  GET /quit shuts the whole fleet down (rank 0
-broadcasts OP_QUIT after its HTTP server stops).
+Scope: POST /query (the coalesced batch path), /fq_lookup, /lookup
+(OP_LOOKUP: keep_hits gather on the tp-sharded table), /matrix
+(OP_MATRIX: every rank runs the identical mesh distance compute) and
+/add run on the spanning mesh; endpoints whose compute is host-side
+(version, dump_*, genus_lookup, mapping/*, checkpoint) answer on rank 0
+alone.  GET /quit shuts the whole fleet down (rank 0 broadcasts OP_QUIT
+after its HTTP server stops).
+
+Call dispatches OVERLAP up to SKT_SERVE_DEPTH: each dispatch's
+collectives (broadcast + placement + program launch) are issued in
+ticket order under the module dispatch lock; the call program
+all-gathers its dp shards ON DEVICE, so result collection is a local
+replica read that runs off-lock (parallel_caller.collect_batch) while
+later dispatches are already in flight on every rank.
 """
 
 from __future__ import annotations
@@ -32,6 +39,8 @@ import numpy as np
 OP_QUIT = 0
 OP_CALL = 1
 OP_ADD = 2
+OP_LOOKUP = 3   # keep_hits gather on the tp-sharded table (/lookup)
+OP_MATRIX = 4   # distance compute on the spanning mesh (/matrix)
 
 _HEADER_LEN = 3
 
@@ -91,6 +100,32 @@ def _bcast(arr):
     return np.asarray(multihost_utils.broadcast_one_to_all(arr))
 
 
+# broadcast payloads ride fixed shape GRIDS: broadcast_one_to_all
+# compiles one program per array shape, and coalesced batches all have
+# different byte lengths — unpadded, every dispatch would recompile
+# (measured: multi-second per-request compile storms on the CPU mesh).
+# The header carries true lengths; receivers slice the padding off.
+_CODES_GRID = 1 << 16
+_OFF_GRID = 1 << 12
+
+
+def _pad_grid(arr: np.ndarray, grid: int) -> np.ndarray:
+    n = arr.shape[0]
+    m = -(-max(n, 1) // grid) * grid
+    if m == n:
+        return arr
+    return np.concatenate([arr, np.zeros(m - n, arr.dtype)])
+
+
+def _bcast_padded(arr: np.ndarray, grid: int) -> np.ndarray:
+    return _bcast(_pad_grid(np.ascontiguousarray(arr), grid))
+
+
+def _recv_padded(n: int, dtype, grid: int) -> np.ndarray:
+    m = -(-max(n, 1) // grid) * grid
+    return _bcast(np.zeros(m, dtype=dtype))[:n]
+
+
 def _bcast_header(op: int = 0, a: int = 0, b: int = 0) -> np.ndarray:
     return _bcast(np.asarray([op, a, b], dtype=np.int64))
 
@@ -106,8 +141,9 @@ class MultihostCaller:
     caller instance surviving an /add swap) would deadlock the
     collective order.
 
-    ``keep_hits`` batches take ParallelFunctionCaller's own local
-    fallback and are NOT broadcast (no collectives on that path).
+    ``keep_hits`` batches (OP_LOOKUP) gather against the tp-sharded
+    table — collective, broadcast, and executed synchronously under the
+    lock (lookups are rare admin/debug operations).
     """
 
     def __init__(self, inner):
@@ -126,19 +162,44 @@ class MultihostCaller:
     def host_fallback_frac(self):
         return self.inner.host_fallback_frac
 
-    def call_batch(self, batch, keep_hits: bool = False):
+    def dispatch_batch(self, batch, keep_hits: bool = False):
+        """Broadcast the batch and launch the collective dispatch, all
+        under the module dispatch lock — so every rank enqueues this
+        call's collective program(s) in the same ticket order.  The
+        returned handle is collected OUTSIDE the lock (collect is a
+        local replica read, no collectives), which is what lets up to
+        SKT_SERVE_DEPTH batches overlap at pod scale (the reference
+        server's threadpool concurrency, kmer_request_server.cc:56-126,
+        recast for a collective device fleet)."""
         if keep_hits:
-            # local fallback path in ParallelFunctionCaller: no
-            # collectives, so no broadcast required
-            return self.inner.call_batch(batch, keep_hits=True)
+            # /lookup gathers against the TP-SHARDED table (the mesh
+            # gather_hits_batch override) — a collective program, so it
+            # is broadcast and executed under the lock like any dispatch
+            with _dispatch_lock:
+                _check_live()
+                codes = batch.codes.astype(np.uint8, copy=False)
+                offsets = batch.offsets.astype(np.int32, copy=False)
+                _bcast_header(OP_LOOKUP, codes.shape[0], len(batch))
+                _bcast_padded(codes, _CODES_GRID)
+                _bcast_padded(offsets, _OFF_GRID)
+                return ("local",
+                        self.inner.call_batch(batch, keep_hits=True))
         with _dispatch_lock:
             _check_live()
-            codes = np.ascontiguousarray(batch.codes, dtype=np.uint8)
-            offsets = np.ascontiguousarray(batch.offsets, dtype=np.int32)
+            codes = batch.codes.astype(np.uint8, copy=False)
+            offsets = batch.offsets.astype(np.int32, copy=False)
             _bcast_header(OP_CALL, codes.shape[0], len(batch))
-            _bcast(codes)
-            _bcast(offsets)
-            return self.inner.call_batch(batch)
+            _bcast_padded(codes, _CODES_GRID)
+            _bcast_padded(offsets, _OFF_GRID)
+            return self.inner.dispatch_batch(batch)
+
+    def collect_batch(self, handle):
+        if isinstance(handle, tuple) and handle and handle[0] == "local":
+            return handle[1]
+        return self.inner.collect_batch(handle)
+
+    def call_batch(self, batch, keep_hits: bool = False):
+        return self.collect_batch(self.dispatch_batch(batch, keep_hits))
 
 
 def broadcast_add(body: bytes) -> None:
@@ -151,7 +212,19 @@ def broadcast_add(body: bytes) -> None:
     with _dispatch_lock:
         _check_live()
         _bcast_header(OP_ADD, payload.shape[0], 0)
-        _bcast(payload)
+        _bcast_padded(payload, _CODES_GRID)
+
+
+def broadcast_matrix(body: bytes) -> None:
+    """Rank 0: announce a /matrix body; every rank runs the identical
+    distance compute on the spanning mesh (caller holds the dispatch
+    lock across this broadcast AND the compute — the matrix program's
+    collectives must not interleave with call dispatches)."""
+    payload = np.frombuffer(body, dtype=np.uint8).copy()
+    with _dispatch_lock:
+        _check_live()
+        _bcast_header(OP_MATRIX, payload.shape[0], 0)
+        _bcast_padded(payload, _CODES_GRID)
 
 
 def broadcast_quit() -> None:
@@ -169,21 +242,60 @@ def follower_loop(service) -> None:
     ``service`` is this rank's AnnotationService built on the same data
     dir and the same process-spanning mesh (its engines hold this rank's
     table shards).
+
+    Call dispatches are NOT collected synchronously: the follower
+    launches the collective program and immediately returns to the
+    broadcast receive, so rank 0 can keep several batches in flight
+    (the broadcast order IS the program order on every rank; collection
+    is a local replica read with no collectives and can lag).  A
+    bounded deque caps in-flight outputs and surfaces execution errors;
+    the (caller, handle) pair keeps a swapped-out engine alive until
+    its batches have drained past an /add.
     """
+    import os
+    from collections import deque
+
     from ..io.fasta import SequenceBatch
+
+    depth = max(1, int(os.environ.get("SKT_SERVE_DEPTH", "4")))
+    pending: deque = deque()
+
+    def _collect_oldest():
+        caller, handle = pending.popleft()
+        caller.collect_batch(handle)
 
     while True:
         op, a, b = (int(x) for x in _bcast_header())
         if op == OP_QUIT:
+            while pending:
+                _collect_oldest()
             return
         if op == OP_CALL:
-            codes = _bcast(np.zeros(a, dtype=np.uint8))
-            offsets = _bcast(np.zeros(b + 1, dtype=np.int32))
+            codes = _recv_padded(a, np.uint8, _CODES_GRID)
+            offsets = _recv_padded(b + 1, np.int32, _OFF_GRID)
             batch = SequenceBatch(codes, offsets,
                                   [f"s{i}" for i in range(b)], [""] * b)
             # re-read per op: /add swaps service.engines (followers never
             # wrap in MultihostCaller — _make_engines only wraps rank 0)
-            service.engines.caller.call_batch(batch)
+            caller = service.engines.caller
+            pending.append((caller, caller.dispatch_batch(batch)))
+            while len(pending) > depth:
+                _collect_oldest()
+        elif op == OP_LOOKUP:
+            codes = _recv_padded(a, np.uint8, _CODES_GRID)
+            offsets = _recv_padded(b + 1, np.int32, _OFF_GRID)
+            batch = SequenceBatch(codes, offsets,
+                                  [f"s{i}" for i in range(b)], [""] * b)
+            # synchronous, like rank 0 (the lookup gather is collective
+            # and held under rank 0's dispatch lock for its duration)
+            service.engines.caller.call_batch(batch, keep_hits=True)
+        elif op == OP_MATRIX:
+            payload = _recv_padded(a, np.uint8, _CODES_GRID)
+            from ..io import fasta as fasta_io
+
+            batch = fasta_io.SequenceBatch.from_records(
+                fasta_io.iter_fasta(payload.tobytes()))
+            service.engines.distance.compute([batch], mesh=service.mesh)
         elif op == OP_ADD:
-            payload = _bcast(np.zeros(a, dtype=np.uint8))
+            payload = _recv_padded(a, np.uint8, _CODES_GRID)
             service.add_text(payload.tobytes(), _broadcast=False)

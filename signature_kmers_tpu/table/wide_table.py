@@ -67,6 +67,17 @@ class WideTableConfig:
     # >= 17 so tags stay <= 31 bits and the 0xFFFFFFFF empty sentinel is
     # unreachable by ANY query's tag (exactness; hashing.wide_bucket_tag)
     min_bits: int = 17
+    # Sub-cliff auto-sizing for MEDIUM tables (VERDICT r4 #2): arrays
+    # <= 64 MB always gather in the chip's FAST state (4.2-6.1 ns/row
+    # vs 10.6 slow; docs/PERF.md r4 addendum), so when the key count
+    # fits a 64 MB main store at load <= sub_cliff_max_load, size the
+    # main store to the largest sub-cliff bucket count and let the
+    # Poisson tail go to the (also sub-cliff) overflow leaf.  The r2
+    # probe_bits warning (bits=25 -> 20 ns at 20M keys) was about
+    # shrinking a table whose overflow EXPLODES — the acceptance check
+    # below rejects exactly that case.  0 disables.
+    sub_cliff_bytes: int = 64 << 20
+    sub_cliff_max_load: float = 0.6
 
 
 def compact_config() -> WideTableConfig:
@@ -263,20 +274,43 @@ class WideKmerTable:
                 raise ValueError("duplicate k-mer keys in table build input")
 
         S = config.slots
-        if bits is None:
-            want_buckets = int(n / (S * config.main_load)) + 1
-            bits = max(config.min_bits,
-                       hashing.next_pow2(want_buckets).bit_length() - 1)
-            bits = min(bits, 30)
-        else:
-            bits = max(config.min_bits, min(int(bits), 30))
 
-        salt = _SALT_BASE
-        packed, aux, ov_idx = _place_tagged(hi, lo, v0, v1, v2, bits, salt, S)
-        ov_packed, ov_aux, ov_salt, ov_bits = _build_leaf(
-            hi[ov_idx], lo[ov_idx], v0[ov_idx], v1[ov_idx], v2[ov_idx])
-        return WideKmerTable(packed, aux, ov_packed, ov_aux, salt, bits,
-                             ov_salt, ov_bits, n, int(ov_idx.shape[0]))
+        def _assemble(bits_):
+            salt = _SALT_BASE
+            packed, aux, ov_idx = _place_tagged(hi, lo, v0, v1, v2,
+                                                bits_, salt, S)
+            ov_packed, ov_aux, ov_salt, ov_bits = _build_leaf(
+                hi[ov_idx], lo[ov_idx], v0[ov_idx], v1[ov_idx], v2[ov_idx])
+            return WideKmerTable(packed, aux, ov_packed, ov_aux, salt,
+                                 bits_, ov_salt, ov_bits, n,
+                                 int(ov_idx.shape[0]))
+
+        if bits is not None:
+            return _assemble(max(config.min_bits, min(int(bits), 30)))
+
+        want_buckets = int(n / (S * config.main_load)) + 1
+        bits = max(config.min_bits,
+                   hashing.next_pow2(want_buckets).bit_length() - 1)
+        bits = min(bits, 30)
+
+        # sub-cliff auto-sizing for medium tables (see WideTableConfig):
+        # the default sizing would cross the 64 MB fast-gather boundary,
+        # but the keys fit a sub-cliff main store at acceptable load —
+        # place there and accept iff the overflow leaf stays sub-cliff
+        # too (otherwise the shrunken main just feeds a giant leaf, the
+        # regime probe_bits measured as a LOSS).
+        sub = config.sub_cliff_bytes
+        if sub:
+            row_bytes = 8 * S
+            bits_cap = max(config.min_bits,
+                           (sub // row_bytes).bit_length() - 1)
+            fits = n <= (1 << bits_cap) * S * config.sub_cliff_max_load
+            if bits > bits_cap and fits:
+                t = _assemble(bits_cap)
+                if t.ov_packed.nbytes <= sub:
+                    return t
+                # overflow outgrew the budget: fall through to default
+        return _assemble(bits)
 
     @staticmethod
     def from_stats(hi, lo, avg_from_end, function_index, mean, median, var,

@@ -113,6 +113,55 @@ class TestWideTable:
         np.testing.assert_array_equal(r0, v0)
         np.testing.assert_array_equal(r2, v2)
 
+    def test_sub_cliff_auto_sizing_boundary(self):
+        """Medium tables auto-size the main store to the largest
+        sub-cliff bucket count (arrays <= sub_cliff_bytes gather in the
+        chip's fast state, docs/PERF.md r4); keys that no longer fit a
+        sub-cliff main at the load cap keep the default sizing.  Scaled
+        budget (8 MB) so the test builds in seconds; the boundary
+        arithmetic is identical at the production 64 MB."""
+        SUB = 8 << 20  # bits_cap = 19 at slots=2 (2^19 * 16 B = 8 MB)
+        cap_keys = (1 << 19) * 2 * 0.6  # 629,145 at the 0.6 load cap
+
+        rng = np.random.default_rng(11)
+        t, hi, lo, v0, v1, v2 = self._build(
+            rng, 600_000, sub_cliff_bytes=SUB)
+        assert t.bits == 19  # sub-cliff chosen (default sizing => 21)
+        assert t.packed.nbytes <= SUB
+        assert t.ov_packed.nbytes <= SUB  # leaf stays sub-cliff too
+        assert t.n_items <= cap_keys
+        # exactness is untouched by the denser layout
+        found, r0, r1, r2 = t.lookup_np(hi, lo)
+        assert found.all()
+        np.testing.assert_array_equal(r0, v0)
+        np.testing.assert_array_equal(r2, v2)
+        mh, ml = random_keys(rng, 20000)
+        member = set(zip(hi.tolist(), lo.tolist()))
+        miss = np.array([(h, l) not in member
+                         for h, l in zip(mh.tolist(), ml.tolist())])
+        f2, _m0, _m1, _m2 = t.lookup_np(mh, ml)
+        assert not f2[miss].any()
+
+        # just OVER the load cap: default sizing retained
+        t2, hi2, lo2, _v0, _v1, _v2 = self._build(
+            rng, 700_000, sub_cliff_bytes=SUB)
+        assert t2.bits > 19
+        f3, _r0, _r1, _r2 = t2.lookup_np(hi2, lo2)
+        assert f3.all()
+
+    def test_sub_cliff_save_load_preserves_layout(self, tmp_path):
+        """The compact format records bits: a sub-cliff table reloads
+        into the SAME geometry (probe-image determinism across load
+        cycles)."""
+        rng = np.random.default_rng(12)
+        t, hi, lo, v0, v1, v2 = self._build(
+            rng, 600_000, sub_cliff_bytes=8 << 20)
+        assert t.bits == 19
+        t.save(tmp_path / "kd")
+        t2 = WideKmerTable.load(tmp_path / "kd")
+        assert t2.bits == t.bits
+        np.testing.assert_array_equal(t2.packed, t.packed)
+
     def test_occupied_reconstructs_keys(self):
         rng = np.random.default_rng(4)
         t, hi, lo, v0, v1, v2 = self._build(
