@@ -76,12 +76,18 @@ def main():
           f"({tb.packed.nbytes/2**20:.0f} MB)", file=sys.stderr)
     layouts.append(("cuckoo-2x24B", tb))
 
-    for slots, load, name in ((4, 1/3, "wide-4x32B"),
-                              (2, 0.22, "wide-2x16B"),
-                              (4, 0.45, "wide-4x32B-dense")):
+    # wide-2x16B auto-selects the sub-cliff sizing when the key count
+    # fits a <=64 MB main store (VERDICT r5); -nosubcliff pins the old
+    # load-0.22 sizing for the side-by-side probe point
+    for slots, load, sub, name in (
+            (4, 1 / 3, 64 << 20, "wide-4x32B"),
+            (2, 0.22, 64 << 20, "wide-2x16B"),
+            (2, 0.22, 0, "wide-2x16B-nosubcliff"),
+            (4, 0.45, 64 << 20, "wide-4x32B-dense")):
         t0 = time.perf_counter()
         tw = WideKmerTable.build(hi, lo, v0, v1, v2,
-                                 WideTableConfig(slots=slots, main_load=load))
+                                 WideTableConfig(slots=slots, main_load=load,
+                                                 sub_cliff_bytes=sub))
         ovb = tw.ov_packed.nbytes / 2**20
         print(f"{name} build {time.perf_counter()-t0:.1f}s "
               f"(main {tw.packed.nbytes/2**20:.0f} MB, bits {tw.bits}, "

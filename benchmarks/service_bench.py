@@ -108,7 +108,7 @@ def main():
     # (round-4 driver record: p99 816.8 ms unwarmed vs 231 ms warmed)
     proc = subprocess.Popen(
         [sys.executable, "-m", "signature_kmers_tpu.cli.main",
-         "serve", "-d", str(data), "--port", str(port), "--warm", "384"],
+         "serve", "-d", str(data), "--port", str(port), "--warm", "300"],
         cwd=str(Path(__file__).resolve().parents[1]),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     try:

@@ -108,7 +108,7 @@ def run_fleet(data, bodies, depth: int, n_clients: int, seqs_per_req: int,
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "signature_kmers_tpu.cli.main",
              "serve", "-d", str(data), "--port", str(http_port),
-             "--mesh", "--tp", "2", "--warm", "384"],
+             "--mesh", "--tp", "2", "--warm", "300"],
             cwd=str(REPO), env=e,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
     try:

@@ -176,8 +176,18 @@ def write_calls(path, rows: Iterable[tuple[str, str, int, float]]):
 
 
 def write_distance(path, rows, with_score: bool):
-    """rows: (seq1, seq2, count[, score])."""
-    with open(path, "w", encoding="latin-1") as fh:
+    """rows: (seq1, seq2, count[, score]).
+
+    ATOMIC (tmp + rename): these are the restart-skip outputs of the
+    folder/merge batch CLIs — a job killed mid-write must not leave a
+    truncated file that a restarted run would silently skip as done.
+    (The reference writes directly and has this hazard,
+    kmers-matrix-distance-folder.cc:108-116; crash-safety is free
+    here.)"""
+    import os
+
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w", encoding="latin-1") as fh:
         for row in rows:
             if with_score:
                 seq1, seq2, count, score = row
@@ -185,6 +195,7 @@ def write_distance(path, rows, with_score: bool):
             else:
                 seq1, seq2, count = row[:3]
                 fh.write(f"{seq1}\t{seq2}\t{count}\n")
+    os.replace(tmp, path)
 
 
 def write_lines(path, lines: Iterable[str]):

@@ -177,6 +177,18 @@ class ShardedWideTable:
         S = cfg.slots
         want = int(int(counts.max()) / (S * cfg.main_load)) + 1
         bits = max(cfg.min_bits, hashing.next_pow2(want).bit_length() - 1)
+        # per-SHARD sub-cliff sizing (same rule as WideKmerTable.build):
+        # a 20M-key table that cannot fit one sub-cliff store CAN at
+        # tp >= 4 — each shard's main store then gathers in the fast
+        # state (4-slot 32 B rows, measured 2x at the 4.4M-key scale)
+        sub = cfg.sub_cliff_bytes
+        if sub and (1 << bits) * 8 * S > sub:
+            S_sub = max(S, 4)
+            bits_cap = max(cfg.min_bits,
+                           (sub // (8 * S_sub)).bit_length() - 1)
+            if int(counts.max()) <= ((1 << bits_cap) * S_sub
+                                     * cfg.sub_cliff_max_load):
+                S, bits = S_sub, bits_cap
 
         mains, main_auxes, leftovers = [], [], []
         for s in range(n_shards):

@@ -106,7 +106,6 @@ def _bcast(arr):
 # (measured: multi-second per-request compile storms on the CPU mesh).
 # The header carries true lengths; receivers slice the padding off.
 _CODES_GRID = 1 << 16
-_OFF_GRID = 1 << 12
 
 
 def _pad_grid(arr: np.ndarray, grid: int) -> np.ndarray:
@@ -128,6 +127,31 @@ def _recv_padded(n: int, dtype, grid: int) -> np.ndarray:
 
 def _bcast_header(op: int = 0, a: int = 0, b: int = 0) -> np.ndarray:
     return _bcast(np.asarray([op, a, b], dtype=np.int64))
+
+
+def _bcast_batch(op: int, batch) -> None:
+    """Rank 0: broadcast a SequenceBatch as header + ONE padded payload
+    (offsets bytes ++ codes bytes).  One rendezvous fewer per dispatch
+    than separate codes/offsets broadcasts — the broadcast phase is
+    serialized under the dispatch lock, so its per-dispatch cost is the
+    pod service's critical path."""
+    codes = batch.codes.astype(np.uint8, copy=False)
+    offsets = batch.offsets.astype(np.int32, copy=False)
+    _bcast_header(op, codes.shape[0], len(batch))
+    buf = np.concatenate([offsets.view(np.uint8), codes])
+    _bcast_padded(buf, _CODES_GRID)
+
+
+def _recv_batch(a: int, b: int):
+    """Follower: inverse of _bcast_batch."""
+    from ..io.fasta import SequenceBatch
+
+    off_bytes = 4 * (b + 1)
+    buf = _recv_padded(off_bytes + a, np.uint8, _CODES_GRID)
+    offsets = buf[:off_bytes].view(np.int32)
+    codes = buf[off_bytes:]
+    return SequenceBatch(codes, offsets,
+                         [f"s{i}" for i in range(b)], [""] * b)
 
 
 class MultihostCaller:
@@ -177,20 +201,12 @@ class MultihostCaller:
             # is broadcast and executed under the lock like any dispatch
             with _dispatch_lock:
                 _check_live()
-                codes = batch.codes.astype(np.uint8, copy=False)
-                offsets = batch.offsets.astype(np.int32, copy=False)
-                _bcast_header(OP_LOOKUP, codes.shape[0], len(batch))
-                _bcast_padded(codes, _CODES_GRID)
-                _bcast_padded(offsets, _OFF_GRID)
+                _bcast_batch(OP_LOOKUP, batch)
                 return ("local",
                         self.inner.call_batch(batch, keep_hits=True))
         with _dispatch_lock:
             _check_live()
-            codes = batch.codes.astype(np.uint8, copy=False)
-            offsets = batch.offsets.astype(np.int32, copy=False)
-            _bcast_header(OP_CALL, codes.shape[0], len(batch))
-            _bcast_padded(codes, _CODES_GRID)
-            _bcast_padded(offsets, _OFF_GRID)
+            _bcast_batch(OP_CALL, batch)
             return self.inner.dispatch_batch(batch)
 
     def collect_batch(self, handle):
@@ -255,8 +271,6 @@ def follower_loop(service) -> None:
     import os
     from collections import deque
 
-    from ..io.fasta import SequenceBatch
-
     depth = max(1, int(os.environ.get("SKT_SERVE_DEPTH", "4")))
     pending: deque = deque()
 
@@ -271,10 +285,7 @@ def follower_loop(service) -> None:
                 _collect_oldest()
             return
         if op == OP_CALL:
-            codes = _recv_padded(a, np.uint8, _CODES_GRID)
-            offsets = _recv_padded(b + 1, np.int32, _OFF_GRID)
-            batch = SequenceBatch(codes, offsets,
-                                  [f"s{i}" for i in range(b)], [""] * b)
+            batch = _recv_batch(a, b)
             # re-read per op: /add swaps service.engines (followers never
             # wrap in MultihostCaller — _make_engines only wraps rank 0)
             caller = service.engines.caller
@@ -282,10 +293,7 @@ def follower_loop(service) -> None:
             while len(pending) > depth:
                 _collect_oldest()
         elif op == OP_LOOKUP:
-            codes = _recv_padded(a, np.uint8, _CODES_GRID)
-            offsets = _recv_padded(b + 1, np.int32, _OFF_GRID)
-            batch = SequenceBatch(codes, offsets,
-                                  [f"s{i}" for i in range(b)], [""] * b)
+            batch = _recv_batch(a, b)
             # synchronous, like rank 0 (the lookup gather is collective
             # and held under rank 0's dispatch lock for its duration)
             service.engines.caller.call_batch(batch, keep_hits=True)

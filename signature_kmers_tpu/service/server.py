@@ -84,6 +84,18 @@ class _QueryBatcher:
         # (p50 93.9 ms); diminishing past 4 and it matches the caller's
         # internal chunk-pipeline depth
         self.depth = max(1, int(os.environ.get("SKT_SERVE_DEPTH", "4")))
+        # additional concurrent workers (beyond the first) only start
+        # once `min_fill` SEQUENCES are pending: a dispatch has a fixed
+        # per-batch cost (multihost: the serialized broadcast phase),
+        # and eagerly dispatching tiny batches trades away the
+        # coalescing that amortizes it.  Default 0 = dispatch eagerly
+        # (the measured single-host depth-4 win needs no gating; see
+        # docs/PERF.md round-5 for the compute-saturated CPU-mesh
+        # regime where gating/depth-1 gives better qps).  Requests can
+        # never strand: the last draining worker re-kicks
+        # unconditionally.
+        self.min_fill = max(0, int(
+            os.environ.get("SKT_SERVE_MIN_FILL", "0")))
         self.inflight = 0
         self.batches_run = 0  # observability / tests
         self.seqs_run = 0     # total sequences across coalesced batches
@@ -100,11 +112,16 @@ class _QueryBatcher:
         return await fut
 
     def _kick(self, loop):
-        if self.pending and self.inflight < self.depth:
-            self.inflight += 1
-            t = loop.create_task(self._drain())
-            self._drain_tasks.add(t)
-            t.add_done_callback(self._drain_tasks.discard)
+        if not self.pending or self.inflight >= self.depth:
+            return
+        if self.inflight and self.min_fill and sum(
+                len(b) for b, _ in self.pending) < self.min_fill:
+            return  # let the pending batch fill; a draining worker
+            #         (or the next arrival) re-kicks
+        self.inflight += 1
+        t = loop.create_task(self._drain())
+        self._drain_tasks.add(t)
+        t.add_done_callback(self._drain_tasks.discard)
 
     async def _drain(self):
         import time
@@ -287,19 +304,27 @@ class AnnotationService:
 
         from ..core import alphabet
 
-        reps = -(-max(1, length) // 20)  # tile to cover ANY warm length
-        seq = alphabet.encode_seq("ACDEFGHIKLMNPQRSTVWY" * reps)[:length]
+        # two lengths per rows count: the requested length (whose
+        # probe-width W = 16-grid of len-k+1 is what real queries of
+        # that length compile) AND its 128-bucket max (W = L) — a
+        # warm at 384 alone leaves 300-aa traffic to compile W=304
+        # mid-run (measured as a 6.4 s p99 stall in service_bench)
+        lens = sorted({max(1, length),
+                       -(-max(1, length) // 128) * 128})
         n_shapes = 0
-        rows = 64
-        while rows <= min(max_rows, self.config.device.call_batch):
-            batch = fasta_io.SequenceBatch(
-                codes=np.tile(seq, rows),
-                offsets=(np.arange(rows + 1) * length).astype(np.int32),
-                ids=[f"w{i}" for i in range(rows)],
-                deflines=[""] * rows)
-            self._call_batch(batch)
-            n_shapes += 1
-            rows <<= 1
+        for Lw in lens:
+            reps = -(-Lw // 20)  # tile to cover ANY warm length
+            seq = alphabet.encode_seq("ACDEFGHIKLMNPQRSTVWY" * reps)[:Lw]
+            rows = 64
+            while rows <= min(max_rows, self.config.device.call_batch):
+                batch = fasta_io.SequenceBatch(
+                    codes=np.tile(seq, rows),
+                    offsets=(np.arange(rows + 1) * Lw).astype(np.int32),
+                    ids=[f"w{i}" for i in range(rows)],
+                    deflines=[""] * rows)
+                self._call_batch(batch)
+                n_shapes += 1
+                rows <<= 1
         return n_shapes
 
     # -- request handlers --------------------------------------------------

@@ -275,10 +275,10 @@ class WideKmerTable:
 
         S = config.slots
 
-        def _assemble(bits_):
+        def _assemble(bits_, S_):
             salt = _SALT_BASE
             packed, aux, ov_idx = _place_tagged(hi, lo, v0, v1, v2,
-                                                bits_, salt, S)
+                                                bits_, salt, S_)
             ov_packed, ov_aux, ov_salt, ov_bits = _build_leaf(
                 hi[ov_idx], lo[ov_idx], v0[ov_idx], v1[ov_idx], v2[ov_idx])
             return WideKmerTable(packed, aux, ov_packed, ov_aux, salt,
@@ -286,7 +286,7 @@ class WideKmerTable:
                                  int(ov_idx.shape[0]))
 
         if bits is not None:
-            return _assemble(max(config.min_bits, min(int(bits), 30)))
+            return _assemble(max(config.min_bits, min(int(bits), 30)), S)
 
         want_buckets = int(n / (S * config.main_load)) + 1
         bits = max(config.min_bits,
@@ -298,19 +298,25 @@ class WideKmerTable:
         # but the keys fit a sub-cliff main store at acceptable load —
         # place there and accept iff the overflow leaf stays sub-cliff
         # too (otherwise the shrunken main just feeds a giant leaf, the
-        # regime probe_bits measured as a LOSS).
+        # regime probe_bits measured as a LOSS).  The sub-cliff variant
+        # uses 4-slot 32 B rows: at a fixed byte budget the slot
+        # capacity is identical, but doubling bucket occupancy (lambda
+        # 2.1 vs 1.07) collapses the Poisson overflow tail (measured at
+        # 4.4M keys: 188K vs 491K overflow keys, 7.2 vs 16.9 ns/window
+        # — vs 14.5 for the unshrunk bits=24 store; probe_bench.py r5).
         sub = config.sub_cliff_bytes
         if sub:
-            row_bytes = 8 * S
+            S_sub = max(S, 4)
+            row_bytes = 8 * S_sub
             bits_cap = max(config.min_bits,
                            (sub // row_bytes).bit_length() - 1)
-            fits = n <= (1 << bits_cap) * S * config.sub_cliff_max_load
-            if bits > bits_cap and fits:
-                t = _assemble(bits_cap)
+            fits = n <= (1 << bits_cap) * S_sub * config.sub_cliff_max_load
+            if (1 << bits) * 8 * S > sub and fits:
+                t = _assemble(bits_cap, S_sub)
                 if t.ov_packed.nbytes <= sub:
                     return t
                 # overflow outgrew the budget: fall through to default
-        return _assemble(bits)
+        return _assemble(bits, S)
 
     @staticmethod
     def from_stats(hi, lo, avg_from_end, function_index, mean, median, var,

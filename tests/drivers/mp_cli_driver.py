@@ -30,6 +30,32 @@ def main():
     os.environ["SKT_NUM_PROCESSES"] = nproc
     os.environ["SKT_PROCESS_ID"] = pid
 
+    # fault injection (tests/test_multiprocess.py kill-a-rank tests):
+    # this rank hard-dies mid-run, simulating preemption/crash — the
+    # SURVIVORS must then exit with a clear error in bounded time
+    # (jax's coordination service heartbeat), never hang a collective
+    die_s = os.environ.get("SKT_TEST_DIE_S")
+    die_dir = os.environ.get("SKT_TEST_DIE_WHEN_DIR_NONEMPTY")
+    if die_s or die_dir:
+        import threading
+        import time as _time
+
+        def _die():
+            if die_dir:
+                # deterministic mid-run trigger: fire as soon as the
+                # fleet has produced its FIRST output file (guaranteed
+                # after distributed init, before the run completes)
+                d = Path(die_dir)
+                while not (d.is_dir() and any(d.iterdir())):
+                    _time.sleep(0.05)
+            else:
+                _time.sleep(float(die_s))
+            print(f"pid={pid} injected fault (os._exit 17)", flush=True)
+            sys.stdout.flush()
+            os._exit(17)
+
+        threading.Thread(target=_die, daemon=True).start()
+
     from signature_kmers_tpu.cli.main import main as cli_main
 
     if mode == "call":

@@ -120,13 +120,14 @@ class TestWideTable:
         sub-cliff main at the load cap keep the default sizing.  Scaled
         budget (8 MB) so the test builds in seconds; the boundary
         arithmetic is identical at the production 64 MB."""
-        SUB = 8 << 20  # bits_cap = 19 at slots=2 (2^19 * 16 B = 8 MB)
-        cap_keys = (1 << 19) * 2 * 0.6  # 629,145 at the 0.6 load cap
+        SUB = 8 << 20  # bits_cap = 18 at the 4-slot rows (2^18*32B = 8MB)
+        cap_keys = (1 << 18) * 4 * 0.6  # 629,145 at the 0.6 load cap
 
         rng = np.random.default_rng(11)
         t, hi, lo, v0, v1, v2 = self._build(
             rng, 600_000, sub_cliff_bytes=SUB)
-        assert t.bits == 19  # sub-cliff chosen (default sizing => 21)
+        assert t.bits == 18  # sub-cliff chosen (default sizing => 21)
+        assert t.slots == 4  # sub-cliff variant widens to 32 B rows
         assert t.packed.nbytes <= SUB
         assert t.ov_packed.nbytes <= SUB  # leaf stays sub-cliff too
         assert t.n_items <= cap_keys
@@ -156,7 +157,7 @@ class TestWideTable:
         rng = np.random.default_rng(12)
         t, hi, lo, v0, v1, v2 = self._build(
             rng, 600_000, sub_cliff_bytes=8 << 20)
-        assert t.bits == 19
+        assert t.bits == 18 and t.slots == 4
         t.save(tmp_path / "kd")
         t2 = WideKmerTable.load(tmp_path / "kd")
         assert t2.bits == t.bits
