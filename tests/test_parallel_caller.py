@@ -205,6 +205,39 @@ class TestShardedWideSmallOverflow:
             np.testing.assert_array_equal(found, np.ones_like(found))
 
 
+class TestMeshGatherHits:
+    @pytest.mark.parametrize("layout", ["wide", "cuckoo"])
+    @pytest.mark.parametrize("need_aux", [False, True])
+    def test_matches_single_device(self, built, layout, need_aux):
+        """The mesh gather_hits_batch override — the /lookup (keep_hits)
+        path probing the TP-SHARDED table, with full value words when
+        need_aux — is bit-identical to the single-device gather on both
+        production layouts (ref surface: kser_request.cc:446-467
+        LookupRequest)."""
+        from signature_kmers_tpu.models.function_caller import pad_bucketed
+
+        root, table, funcs = built
+        if layout == "cuckoo":
+            from signature_kmers_tpu.table.bucket_table import \
+                BucketKmerTable
+
+            table = BucketKmerTable.build(*table.occupied())
+        mesh = mesh_mod.make_mesh(8)  # 4 dp x 2 tp
+        dc = DeviceConfig(call_batch=16)
+        pc = ParallelFunctionCaller(table, funcs, device_config=dc,
+                                    mesh=mesh)
+        sc = FunctionCaller(table, funcs, device_config=dc)
+        batch = fasta.SequenceBatch.from_file(
+            root / "Queries" / "queries.fa")
+        codes, lengths = pad_bucketed(batch, 16)
+        got = pc.gather_hits_batch(codes, lengths, need_aux=need_aux)
+        exp = sc.gather_hits_batch(codes, lengths, need_aux=need_aux)
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+        assert np.asarray(got[0]).any()  # some hits actually gathered
+
+
 class TestParallelCallerCuckoo:
     def test_matches_single_device_cuckoo_layout(self, built):
         from signature_kmers_tpu.table.bucket_table import BucketKmerTable
