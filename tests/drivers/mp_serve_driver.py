@@ -28,8 +28,14 @@ def main():
 
     from signature_kmers_tpu.cli.main import main as cli_main
 
+    # --warm: pre-compiles the dispatch shapes rank-by-rank during
+    # startup (readiness-gated by the parent's 300 s poll).  Without
+    # it, the FIRST real query compiles concurrently on every rank and
+    # a loaded host can skew the ranks past Gloo's hard 30 s
+    # context-init key-exchange timeout ("GetKeyValue() timed out"),
+    # 500-ing the query (observed under a saturating co-located bench).
     rc = cli_main(["serve", "-d", data_dir, "--port", http_port,
-                   "--mesh", "--tp", "2"])
+                   "--mesh", "--tp", "2", "--warm", "300"])
     print(f"pid={pid} rc={rc}", flush=True)
     sys.exit(rc or 0)
 

@@ -410,11 +410,16 @@ class TestWarm:
         from tests.fixtures.gen_corpus import FUNCTIONS, _rand_prot
 
         svc = AnnotationService(str(data_dir))
+        # length 256 IS its own 128-bucket max -> one length, rows 64+128
         n = svc.warm(length=256, max_rows=128)
-        assert n == 2  # rows 64 and 128
+        assert n == 2
+        # non-bucket length warms BOTH its own probe width and the
+        # bucket max (regression: warming 384 alone left 300-aa traffic
+        # to compile W=304 mid-run as a 6.4 s p99 stall)
+        assert svc.warm(length=300, max_rows=64) == 2  # 300 and 384
         # lengths beyond the template tile must not read out of bounds
         # (regression: a fixed 1280-char template + offsets*length)
-        assert svc.warm(length=1500, max_rows=64) == 1
+        assert svc.warm(length=1536, max_rows=64) == 1
         r = random.Random(20240817)
         fn, seq = FUNCTIONS[0], _rand_prot(r, 220)
         out = svc.query_text(f">q\n{seq}\n".encode())
