@@ -326,7 +326,19 @@ def test_multihost_serve(mp_data, tmp_path, nproc):
     matrix_body = "".join(dup).encode()
     expected_lookup = svc.lookup_text(fasta_body)
     expected_matrix = svc.matrix_text(matrix_body)
+    # /fq_lookup: six-frame translated calling rides the broadcast
+    # dispatch path too — build a FASTQ read that reverse-translates
+    # one query protein (simple codon table, frame +1)
+    codon = {"A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
+             "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT",
+             "M": "ATG", "N": "AAT", "P": "CCT", "Q": "CAA", "R": "CGT",
+             "S": "TCT", "T": "ACT", "V": "GTT", "W": "TGG", "Y": "TAT"}
+    prot = recs[0].partition("\n")[2].replace("\n", "")
+    dna = "".join(codon[c] for c in prot if c in codon)
+    fastq_body = f"@read0\n{dna}\n+\n{'I' * len(dna)}\n".encode()
+    expected_fq = svc.fq_lookup_text(fastq_body)
     assert expected_lookup.strip() and expected_matrix.strip()
+    assert expected_fq.strip()
     del svc
 
     coord = _free_port()
@@ -385,6 +397,7 @@ def test_multihost_serve(mp_data, tmp_path, nproc):
         # service (deterministic row order on both sides)
         assert req("/lookup", fasta_body) == expected_lookup
         assert req("/matrix", matrix_body) == expected_matrix
+        assert req("/fq_lookup", fastq_body) == expected_fq
 
         # /add: broadcast rebuild on every rank; the follow-up query runs
         # on the NEW sharded table on both ranks
