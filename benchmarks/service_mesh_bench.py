@@ -99,6 +99,10 @@ def run_fleet(data, bodies, depth: int, n_clients: int, seqs_per_req: int,
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = str(REPO)
     env["SKT_SERVE_DEPTH"] = str(depth)
+    # coalescing gate: extra workers only run while >= 64 seqs pending,
+    # so depth > 1 overlaps FULL batches instead of racing to 1-request
+    # dispatches (no effect at depth 1)
+    env["SKT_SERVE_MIN_FILL"] = "64"
     env["SKT_COORDINATOR"] = f"127.0.0.1:{coord}"
     env["SKT_NUM_PROCESSES"] = str(nproc)
     procs = []

@@ -84,18 +84,21 @@ class _QueryBatcher:
         # (p50 93.9 ms); diminishing past 4 and it matches the caller's
         # internal chunk-pipeline depth
         self.depth = max(1, int(os.environ.get("SKT_SERVE_DEPTH", "4")))
-        # additional concurrent workers (beyond the first) only start
-        # once `min_fill` SEQUENCES are pending: a dispatch has a fixed
-        # per-batch cost (multihost: the serialized broadcast phase),
-        # and eagerly dispatching tiny batches trades away the
-        # coalescing that amortizes it.  Default 0 = dispatch eagerly
-        # (the measured single-host depth-4 win needs no gating; see
-        # docs/PERF.md round-5 for the compute-saturated CPU-mesh
-        # regime where gating/depth-1 gives better qps).  Requests can
-        # never strand: the last draining worker re-kicks
-        # unconditionally.
+        # additional concurrent workers (beyond the first) only run
+        # while `min_fill` SEQUENCES are pending (checked at worker
+        # start AND per drain round): a dispatch has a fixed per-batch
+        # cost — multihost: the serialized broadcast phase — and eager
+        # depth-4 workers otherwise race each other down to 1-request
+        # batches, trading away the coalescing that amortizes it
+        # (measured on the 2-process CPU mesh: qps 16.6 ungated vs
+        # 42.6 gated vs 41.4 at depth 1 — the gate keeps full batches
+        # AND the overlap).  Single-host default stays 0: its dispatch
+        # cost is small and the measured depth-4 win (3.5x qps) needs
+        # no gating.  Requests can never strand: the last draining
+        # worker re-kicks unconditionally.
+        default_fill = "64" if service.multihost else "0"
         self.min_fill = max(0, int(
-            os.environ.get("SKT_SERVE_MIN_FILL", "0")))
+            os.environ.get("SKT_SERVE_MIN_FILL", default_fill)))
         self.inflight = 0
         self.batches_run = 0  # observability / tests
         self.seqs_run = 0     # total sequences across coalesced batches
@@ -131,6 +134,15 @@ class _QueryBatcher:
         loop = asyncio.get_event_loop()
         try:
             while self.pending:
+                if (self.inflight > 1 and self.min_fill and sum(
+                        len(b) for b, _ in self.pending) < self.min_fill):
+                    # leave a small remainder to coalesce into a fuller
+                    # batch: another worker is still running (inflight >
+                    # 1) and will drain it — or the LAST worker's exit
+                    # re-kick does.  Without this, depth-4 workers race
+                    # each other to 1-request batches and the fixed
+                    # per-dispatch cost eats the overlap win.
+                    break
                 work, self.pending = self.pending, []
                 try:
                     # merge INSIDE the try: a failure here must fail this

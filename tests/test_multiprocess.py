@@ -337,8 +337,20 @@ def test_multihost_serve(mp_data, tmp_path, nproc):
     dna = "".join(codon[c] for c in prot if c in codon)
     fastq_body = f"@read0\n{dna}\n+\n{'I' * len(dna)}\n".encode()
     expected_fq = svc.fq_lookup_text(fastq_body)
+    # burst body for the overlap section: >= 3x SKT_SERVE_MIN_FILL (the
+    # multihost coalescing gate, default 64 seqs) so concurrent workers
+    # actually START — a sub-fill body is correctly serialized into one
+    # coalesced batch and shows no overlap
+    dup_q = []
+    for k in range(7):
+        for r in recs:
+            head, _, seqpart = r.partition("\n")
+            dup_q.append(f">{head.split()[0]}.c{k}\n{seqpart}")
+    burst_body = "".join(dup_q).encode()
+    expected_burst = svc.query_text(burst_body)
     assert expected_lookup.strip() and expected_matrix.strip()
     assert expected_fq.strip()
+    assert expected_burst.count("\n") >= 64
     del svc
 
     coord = _free_port()
@@ -420,7 +432,7 @@ def test_multihost_serve(mp_data, tmp_path, nproc):
         def qclient(cid):
             try:
                 for i in range(3):
-                    conc_out[(cid, i)] = req("/query", fasta_body,
+                    conc_out[(cid, i)] = req("/query", burst_body,
                                              timeout=300)
             except Exception as e:  # noqa: BLE001
                 conc_err.append(f"q{cid}: {e!r}")
@@ -447,7 +459,7 @@ def test_multihost_serve(mp_data, tmp_path, nproc):
         for k, v in conc_out.items():
             if k != "add":
                 assert sorted(v.splitlines()) == \
-                    sorted(expected.splitlines()), k
+                    sorted(expected_burst.splitlines()), k
 
         # overlap counter: cumulative in-dispatch wall time across the
         # concurrent burst exceeds the burst's wall clock — only
