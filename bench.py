@@ -461,8 +461,23 @@ def main():
             k = cfg.call.k
             chunks = []
             CH = 4096  # headline chunk size
-            for s in range(0, nb, CH):
+            # production probe-waste splitting (FunctionCaller.call_batch
+            # subs): cut chunks so W hugs each span's own max length
+            lens64 = b.lengths.astype(np.int64)
+            useful = np.zeros(nb + 1, np.int64)
+            np.cumsum(np.maximum(lens64 - (k - 1), 1), out=useful[1:])
+            spans = []
+            s = 0
+            while s < nb:
                 e = min(s + CH, nb)
+                while e - s > 1024:
+                    Wc = max(16, int(b.lengths[e - 1]) - k + 1)
+                    if (e - s) * Wc <= 1.15 * (useful[e] - useful[s]):
+                        break
+                    e = s + max(1024, (e - s) // 2)
+                spans.append((s, e))
+                s = e
+            for s, e in spans:
                 nat = int(b.lengths[s:e].max())
                 L = -(-nat // 128) * 128
                 Wc = min(L, max(16, -(-(max(nat, k) - k + 1) // 16) * 16))

@@ -506,6 +506,19 @@ class FunctionCaller:
             batch = self._permute_batch(batch, order)
             lens_all = batch.lengths
 
+        # probe-waste splitting (sorted batches only): the probe pays
+        # per INDEX up to the chunk's W = maxlen-k+1, so a chunk whose
+        # lengths span a wide range probes mostly padding (a U[60,600]
+        # batch in 4096-seq chunks probes ~45% invalid windows).  Cut
+        # chunks (floor 1024 rows, only when padding exceeds ~15%) so W
+        # hugs each span's own maximum.
+        useful = None
+        if order is not None:
+            k_ = self.config.k
+            useful = np.zeros(n + 1, np.int64)
+            np.cumsum(np.maximum(lens_all.astype(np.int64) - (k_ - 1), 1),
+                      out=useful[1:])
+
         def subs():
             s = 0
             while s < n:
@@ -516,6 +529,12 @@ class FunctionCaller:
                     if (e - s) * L <= CELL_BUDGET:
                         break
                     e = s + max(1, (e - s) // 2)
+                if useful is not None:
+                    while e - s > 1024:
+                        Wc = max(16, int(lens_all[e - 1]) - self.config.k + 1)
+                        if (e - s) * Wc <= 1.15 * (useful[e] - useful[s]):
+                            break
+                        e = s + max(1024, (e - s) // 2)
                 yield fasta_io.SequenceBatch(
                     codes=batch.codes[batch.offsets[s]:batch.offsets[e]],
                     offsets=batch.offsets[s:e + 1] - batch.offsets[s],

@@ -250,6 +250,46 @@ class TestDeviceCall:
                 == [(x.start, x.end, x.count, x.function_index)
                     for x in c.calls]
 
+    def test_probe_waste_splitting_preserves_results(self, corpus,
+                                                     device_built):
+        """Adaptive probe-waste splitting (round 5): sorted chunks are
+        cut (1024-row floor) when the chunk-max W would probe >15%
+        padding windows.  A wide-length-range batch big enough to
+        trigger the cut must return results identical to the unsorted
+        single-chunk path, in input order."""
+        import dataclasses
+
+        from signature_kmers_tpu.core.config import Config
+
+        b, kept = device_built
+        funcs = [b.fm.index_function_map[i]
+                 for i in sorted(b.fm.index_function_map)]
+        table = kept.to_table()
+        base = fasta.SequenceBatch.from_file(
+            corpus / "Queries" / "queries.fa")
+        rng = np.random.default_rng(9)
+        recs = []
+        for i in range(2200):
+            s = base.seq_str(int(rng.integers(0, len(base))))
+            ln = int(rng.integers(20, max(21, len(s))))
+            recs.append(fasta.FastaRecord(f"m{i}", "", s[:ln]))
+        batch = fasta.SequenceBatch.from_records(recs)
+
+        cfg = Config()
+        dc_sorted = dataclasses.replace(cfg.device, call_batch=4096,
+                                        sort_by_length=True)
+        dc_plain = dataclasses.replace(cfg.device, call_batch=4096,
+                                       sort_by_length=False)
+        r1 = FunctionCaller(table, funcs, cfg.call,
+                            dc_sorted).call_batch(batch)
+        r2 = FunctionCaller(table, funcs, cfg.call,
+                            dc_plain).call_batch(batch)
+        assert [r.seq_id for r in r1] == batch.ids
+        for a, c in zip(r1, r2):
+            assert (a.seq_id, a.best.function_index, a.best.function,
+                    a.best.score) == (c.seq_id, c.best.function_index,
+                                      c.best.function, c.best.score)
+
     def test_long_proteins(self, corpus, golden_built, device_built):
         """Device path vs golden at 5-10K aa (no truncation: the chunker
         pads each chunk to its own longest sequence under CELL_BUDGET,
