@@ -41,6 +41,35 @@ def cmd_info(args):
     return 0
 
 
+def cmd_relayout(args):
+    """Rebuild a saved table into the CURRENT optimal geometry.
+
+    Saved tables record their layout (bits/slots) and reload
+    byte-stable; a data dir built by an older version therefore keeps
+    its old geometry even when a better sizing rule exists (e.g. the
+    round-5 sub-cliff rule: medium tables in <= 64 MB fast-gather
+    arrays, a measured 2x probe win).  This re-places the stored
+    entries through the current build_table and saves in place —
+    membership and values are unchanged (the verify subcommand checks a
+    sample)."""
+    from ..table import build_table
+    from ..core.config import TableConfig
+
+    base = Path(args.data_dir) / "kmer_data"
+    t = open_table(base)
+    hi, lo, v0, v1, v2 = t.occupied()
+    t2 = build_table(hi, lo, v0, v1, v2, TableConfig())
+    before = sum(a.nbytes for a in vars(t).values()
+                 if hasattr(a, "nbytes"))
+    after = sum(a.nbytes for a in vars(t2).values()
+                if hasattr(a, "nbytes"))
+    t2.save(base)
+    print(f"relayout: {type(t).__name__} {before >> 20} MB -> "
+          f"{type(t2).__name__} {after >> 20} MB "
+          f"({t2.n_items} kmers)")
+    return 0
+
+
 def cmd_dump(args):
     t = open_table(Path(args.data_dir) / "kmer_data")
     hi, lo, v0, v1, v2 = t.occupied()
@@ -174,6 +203,11 @@ def add_subparsers(sub):
     pv = ss.add_parser("verify")
     pv.add_argument("data_dir")
     pv.set_defaults(func=cmd_verify)
+    prl = ss.add_parser("relayout",
+                        help="rebuild a saved table into the current "
+                             "optimal geometry (e.g. sub-cliff sizing)")
+    prl.add_argument("data_dir")
+    prl.set_defaults(func=cmd_relayout)
     pim = ss.add_parser("import",
                         help="reference CMPH/NuDB store -> native table")
     pim.add_argument("src_dir")

@@ -426,6 +426,42 @@ class TestWarm:
         assert out.split("\t")[1] == fn
 
 
+class TestTableRelayout:
+    def test_relayout_preserves_entries(self, tmp_path):
+        """table-tool relayout: a saved table with legacy (oversized)
+        geometry is re-placed through the current build_table sizing;
+        membership and values are unchanged, geometry shrinks."""
+        from signature_kmers_tpu.table import open_table
+        from signature_kmers_tpu.table.wide_table import WideKmerTable
+
+        rng = np.random.default_rng(23)
+        hi = rng.integers(0, 1 << 24, 60_000, dtype=np.uint32)
+        lo = rng.integers(0, 1 << 24, 60_000, dtype=np.uint32)
+        pk = (hi.astype(np.uint64) << 24) | lo
+        _, idx = np.unique(pk, return_index=True)
+        hi, lo = hi[idx], lo[idx]
+        n = hi.shape[0]
+        v0 = rng.integers(0, 2**32, n, dtype=np.uint32)
+        v1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+        v2 = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+        legacy = WideKmerTable.build(hi, lo, v0, v1, v2, bits=20)
+        d = tmp_path / "kd"
+        d.mkdir()
+        legacy.save(d / "kmer_data")
+        assert open_table(d / "kmer_data").bits == 20  # legacy sticks
+
+        rc = cli_main(["table-tool", "relayout", str(d)])
+        assert rc == 0
+        t2 = open_table(d / "kmer_data")
+        assert t2.bits < 20  # current sizing for this key count
+        assert t2.n_items == n
+        f, r0, r1, r2 = t2.lookup_np(hi, lo)
+        assert f.all()
+        np.testing.assert_array_equal(r0, v0)
+        np.testing.assert_array_equal(r1, v1)
+        np.testing.assert_array_equal(r2, v2)
+
+
 class TestKmerDistribution:
     def test_write_kmer_distribution(self, data_dir, tmp_path):
         from signature_kmers_tpu.service.server import AnnotationService
