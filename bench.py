@@ -466,7 +466,7 @@ def main():
             # subs): cut chunks so W hugs each span's own max length
             lens64 = b.lengths.astype(np.int64)
             useful = np.zeros(nb + 1, np.int64)
-            np.cumsum(np.maximum(lens64 - (k - 1), 1), out=useful[1:])
+            np.cumsum(np.maximum(lens64 - (k - 1), 16), out=useful[1:])
             spans = []
             s = 0
             while s < nb:

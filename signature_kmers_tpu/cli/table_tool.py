@@ -55,6 +55,8 @@ def cmd_relayout(args):
     from ..table import build_table
     from ..core.config import TableConfig
 
+    import os
+
     base = Path(args.data_dir) / "kmer_data"
     t = open_table(base)
     hi, lo, v0, v1, v2 = t.occupied()
@@ -63,7 +65,15 @@ def cmd_relayout(args):
                  if hasattr(a, "nbytes"))
     after = sum(a.nbytes for a in vars(t2).values()
                 if hasattr(a, "nbytes"))
-    t2.save(base)
+    # ATOMIC swap: this rewrites the ONLY copy of the table — a crash
+    # mid-save must not leave a truncated npz.  Save to a temp base,
+    # then replace npz BEFORE json: the compact format rebuilds from
+    # the entry arrays using the json's geometry, so the worst crash
+    # window (new npz + old json) still loads — just in the old layout.
+    tmp = base.parent / f".relayout{os.getpid()}"
+    t2.save(tmp)
+    os.replace(tmp.with_suffix(".npz"), base.with_suffix(".npz"))
+    os.replace(tmp.with_suffix(".json"), base.with_suffix(".json"))
     print(f"relayout: {type(t).__name__} {before >> 20} MB -> "
           f"{type(t2).__name__} {after >> 20} MB "
           f"({t2.n_items} kmers)")

@@ -515,8 +515,12 @@ class FunctionCaller:
         useful = None
         if order is not None:
             k_ = self.config.k
+            # per-row useful floored at 16 to MATCH Wc's floor: the
+            # probed width never drops below 16, so sub-16-window rows
+            # must not read as waste (uniformly short batches would
+            # otherwise split to the row floor for zero benefit)
             useful = np.zeros(n + 1, np.int64)
-            np.cumsum(np.maximum(lens_all.astype(np.int64) - (k_ - 1), 1),
+            np.cumsum(np.maximum(lens_all.astype(np.int64) - (k_ - 1), 16),
                       out=useful[1:])
 
         def subs():

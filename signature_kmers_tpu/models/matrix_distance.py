@@ -270,31 +270,13 @@ class MatrixDistance:
         ParallelFunctionCaller (`self.mesh_caller`, set by the mesh
         service): the /matrix endpoint then never requires the table to
         fit one device (ref surface: kser_request.cc:444-467
-        MatrixRequest).  The distance filters are the same ones the
-        single-device program applies (matrix_distance.h:52-88), in
-        their exact integer forms at the reference defaults."""
-        found, func, mean, _avg, _median, var = mc.gather_hits_batch(
-            codes, lengths, need_aux=True)
-        # hypothetical hits never count (matrix_distance.h:88)
-        found = found & (func != self.hypo_index)
-        seqlen = np.asarray(lengths).astype(np.int64)[:, None]
-        mean_i = mean.astype(np.int64)
-        var_i = var.astype(np.int64)
-        d = seqlen - mean_i
-        w = self.config.len_sigma_window
-        frac = self.config.zero_var_len_frac
-        if w == 2.0 and frac == 0.1:
-            # exact integer forms (see the device program above)
-            dc = np.minimum(np.abs(d), 1024)
-            okl = np.where(var_i == 0,
-                           5 * np.abs(d) <= seqlen,
-                           dc * dc <= 4 * var_i)
-        else:
-            sl = seqlen.astype(np.float32)
-            stddev = np.where(var_i == 0, sl * np.float32(frac),
-                              np.sqrt(var_i.astype(np.float32)))
-            okl = np.abs(d.astype(np.float32)) <= np.float32(w) * stddev
-        return found & okl
+        MatrixRequest).  The hypothetical + length filters run
+        IN-PROGRAM (same forms as this file's single-device program)
+        and only the found MASK ships to the host — the value words are
+        ~20x its bytes."""
+        return mc.gather_found_filtered(
+            codes, lengths, self.hypo_index,
+            self.config.len_sigma_window, self.config.zero_var_len_frac)
 
     def _pack_seq_block(self, kk, sj, nkb: int, kblock: int, cap: int):
         """Entries of one sequence block (kmer-sorted) -> (nkb, cap)

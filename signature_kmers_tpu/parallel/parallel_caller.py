@@ -174,68 +174,84 @@ class ShardedWideTable:
         owner = _shard_owner(hi, lo, n_shards)
         counts = np.bincount(owner, minlength=n_shards)
         cfg = wt.WideTableConfig()
-        S = cfg.slots
-        want = int(int(counts.max()) / (S * cfg.main_load)) + 1
-        bits = max(cfg.min_bits, hashing.next_pow2(want).bit_length() - 1)
-        # per-SHARD sub-cliff sizing (same rule as WideKmerTable.build):
-        # a 20M-key table that cannot fit one sub-cliff store CAN at
-        # tp >= 4 — each shard's main store then gathers in the fast
-        # state (4-slot 32 B rows, measured 2x at the 4.4M-key scale)
+        S_def = cfg.slots
+        want = int(int(counts.max()) / (S_def * cfg.main_load)) + 1
+        bits_def = max(cfg.min_bits,
+                       hashing.next_pow2(want).bit_length() - 1)
+        # per-SHARD sub-cliff sizing (same rule as WideKmerTable.build,
+        # including the leaf acceptance check below): a 20M-key table
+        # that cannot fit one sub-cliff store CAN at tp >= 4 — each
+        # shard's main store then gathers in the fast state (4-slot
+        # 32 B rows, measured 2x at the 4.4M-key scale)
         sub = cfg.sub_cliff_bytes
-        if sub and (1 << bits) * 8 * S > sub:
-            S_sub = max(S, 4)
+        S, bits = S_def, bits_def
+        chose_sub = False
+        if sub and (1 << bits_def) * 8 * S_def > sub:
+            S_sub = max(S_def, 4)
             bits_cap = max(cfg.min_bits,
                            (sub // (8 * S_sub)).bit_length() - 1)
             if int(counts.max()) <= ((1 << bits_cap) * S_sub
                                      * cfg.sub_cliff_max_load):
-                S, bits = S_sub, bits_cap
+                S, bits, chose_sub = S_sub, bits_cap, True
 
-        mains, main_auxes, leftovers = [], [], []
-        for s in range(n_shards):
-            m = owner == s
-            packed_s, aux_s, lx = wt._place_tagged(
-                hi[m], lo[m], v0[m], v1[m], v2[m], bits, wt._SALT_BASE, S)
-            mains.append(packed_s)
-            main_auxes.append(aux_s)
-            leftovers.append((hi[m][lx], lo[m][lx], v0[m][lx],
-                              v1[m][lx], v2[m][lx]))
-        salts = np.full(n_shards, wt._SALT_BASE, dtype=np.uint32)
+        def build_at(S, bits):
+            mains, main_auxes, leftovers = [], [], []
+            for s in range(n_shards):
+                m = owner == s
+                packed_s, aux_s, lx = wt._place_tagged(
+                    hi[m], lo[m], v0[m], v1[m], v2[m], bits,
+                    wt._SALT_BASE, S)
+                mains.append(packed_s)
+                main_auxes.append(aux_s)
+                leftovers.append((hi[m][lx], lo[m][lx], v0[m][lx],
+                                  v1[m][lx], v2[m][lx]))
+            salts = np.full(n_shards, wt._SALT_BASE, dtype=np.uint32)
 
-        nmax = max(l[0].shape[0] for l in leftovers)
-        ov_any = nmax > 0
-        if not ov_any:
-            ovs = [np.full((1, 2), wt.EMPTY, np.uint32)] * n_shards
-            ov_auxes = [np.zeros((1, 3), np.uint32)] * n_shards
-            ov_salts = np.full(n_shards, wt._SALT_BASE, dtype=np.uint32)
-            ov_bits = 17
-        else:
-            # >= 17: wide_bucket_tag's tag/sentinel exactness bound
-            # (ops/hashing.py) — 16 raised ValueError whenever a sharded
-            # build had a small overflow set
-            ov_bits = max(17, int(np.ceil(np.log2(
-                max(nmax / wt._OV_LAMBDA, 1)))))
-            chosen = []
-            for l in leftovers:
-                r = wt.leaf_salt(l[0], l[1], ov_bits) if l[0].shape[0] \
-                    else (wt._SALT_BASE, 1)
-                if r is None:  # sentinel collision on every salt: widen
-                    ov_bits += 1
-                    return ShardedWideTable._with_leaves(
-                        mains, main_auxes, salts, leftovers, bits, ov_bits,
-                        int(hi.shape[0]))
-                chosen.append(r)
-            S_ov = max(1, max(mx for _, mx in chosen))
-            ovs, ov_auxes = [], []
-            for (l, (salt_s, _mx)) in zip(leftovers, chosen):
-                p, a, rest = wt._place_tagged(*l, ov_bits, salt_s, S_ov)
-                assert rest.shape[0] == 0
-                ovs.append(p)
-                ov_auxes.append(a)
-            ov_salts = np.asarray([s for s, _ in chosen], dtype=np.uint32)
-        return ShardedWideTable(np.stack(mains), np.stack(ovs), salts,
-                                ov_salts, bits, ov_bits, int(hi.shape[0]),
-                                ov_any, aux=np.stack(main_auxes),
-                                ov_aux=np.stack(ov_auxes))
+            nmax = max(l[0].shape[0] for l in leftovers)
+            ov_any = nmax > 0
+            if not ov_any:
+                ovs = [np.full((1, 2), wt.EMPTY, np.uint32)] * n_shards
+                ov_auxes = [np.zeros((1, 3), np.uint32)] * n_shards
+                ov_salts = np.full(n_shards, wt._SALT_BASE,
+                                   dtype=np.uint32)
+                ov_bits = 17
+            else:
+                # >= 17: wide_bucket_tag's tag/sentinel exactness bound
+                # (ops/hashing.py) — 16 raised ValueError whenever a
+                # sharded build had a small overflow set
+                ov_bits = max(17, int(np.ceil(np.log2(
+                    max(nmax / wt._OV_LAMBDA, 1)))))
+                chosen = []
+                for l in leftovers:
+                    r = wt.leaf_salt(l[0], l[1], ov_bits) \
+                        if l[0].shape[0] else (wt._SALT_BASE, 1)
+                    if r is None:  # sentinel collision: widen
+                        ov_bits += 1
+                        return ShardedWideTable._with_leaves(
+                            mains, main_auxes, salts, leftovers, bits,
+                            ov_bits, int(hi.shape[0]))
+                    chosen.append(r)
+                S_ov = max(1, max(mx for _, mx in chosen))
+                ovs, ov_auxes = [], []
+                for (l, (salt_s, _mx)) in zip(leftovers, chosen):
+                    p, a, rest = wt._place_tagged(*l, ov_bits, salt_s,
+                                                  S_ov)
+                    assert rest.shape[0] == 0
+                    ovs.append(p)
+                    ov_auxes.append(a)
+                ov_salts = np.asarray([s for s, _ in chosen],
+                                      dtype=np.uint32)
+            return ShardedWideTable(
+                np.stack(mains), np.stack(ovs), salts, ov_salts, bits,
+                ov_bits, int(hi.shape[0]), ov_any,
+                aux=np.stack(main_auxes), ov_aux=np.stack(ov_auxes))
+
+        t = build_at(S, bits)
+        if chose_sub and t.ov_packed[0].nbytes > sub:
+            # the shrunken main fed an oversized leaf — the regime
+            # probe_bits measured as a LOSS; fall back to default sizing
+            t = build_at(S_def, bits_def)
+        return t
 
     @staticmethod
     def _with_leaves(mains, main_auxes, salts, leftovers, bits, ov_bits,
@@ -541,6 +557,100 @@ class ParallelFunctionCaller(FunctionCaller):
         avg, _f, _m, median, var = unpack_value_words(
             host[2], host[3], host[4])
         return found, func, mean, avg, median, var
+
+    def gather_found_filtered(self, codes: np.ndarray,
+                              lengths: np.ndarray, hypo_index: int,
+                              len_sigma_window: float,
+                              zero_var_len_frac: float) -> np.ndarray:
+        """Mesh hit-gather for the DISTANCE path: the hypothetical and
+        length filters run IN-PROGRAM and only the (B, L) uint8 mask is
+        replicated and shipped — the single-device matrix gather ships
+        just the mask for exactly this reason (the value words are ~20x
+        its bytes and the link is the bottleneck).  Filter forms mirror
+        models/matrix_distance.py's device program exactly (the integer
+        branch at the reference defaults)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..core import alphabet
+        from . import distributed
+
+        B0, L = codes.shape
+        pad = (-B0) % self.ndp
+        if pad:
+            codes = np.concatenate([
+                codes, np.full((pad, L), alphabet.INVALID_CODE, np.uint8)])
+            lengths = np.concatenate([
+                np.asarray(lengths),
+                np.zeros(pad, np.asarray(lengths).dtype)])
+
+        key = ("matrix_mask", L, hypo_index, float(len_sigma_window),
+               float(zero_var_len_frac))
+        if key not in self._pjit:
+            with self._cache_lock:
+                if key not in self._pjit:
+                    import jax.numpy as jnp
+                    from jax import shard_map
+
+                    from ..ops import kmer_pack
+
+                    stable = self.stable
+                    n_tab = len(stable.aux_arrays())
+                    ndp = self.ndp
+                    hypo = hypo_index
+                    w = float(len_sigma_window)
+                    frac = float(zero_var_len_frac)
+                    exact = (w == 2.0 and frac == 0.1)
+
+                    def shard_fn(*args):
+                        tabs = args[:n_tab]
+                        codes_l, lens_l = args[n_tab:]
+                        win = kmer_pack.pack_windows(codes_l, lens_l)
+                        found, _fm, r0, r1, r2 = stable.probe_aux(
+                            tabs, win["hi"], win["lo"])
+                        found_u = jax.lax.psum(
+                            found.astype(jnp.uint32), "tp")
+                        r0 = jax.lax.psum(jnp.where(found, r0, 0), "tp")
+                        r1 = jax.lax.psum(jnp.where(found, r1, 0), "tp")
+                        r2 = jax.lax.psum(jnp.where(found, r2, 0), "tp")
+                        fnd = (found_u > 0) & win["call_valid"]
+                        func = (r0 >> 16).astype(jnp.int32)
+                        mean = (r1 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                        var = (r2 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                        fnd = fnd & (func != hypo)
+                        seqlen = lens_l.astype(jnp.int32)[:, None]
+                        d = seqlen - mean
+                        if exact:
+                            dc = jnp.minimum(jnp.abs(d), 1024)
+                            okl = jnp.where(var == 0,
+                                            5 * jnp.abs(d) <= seqlen,
+                                            dc * dc <= 4 * var)
+                        else:
+                            sl = seqlen.astype(jnp.float32)
+                            stddev = jnp.where(
+                                var == 0, sl * jnp.float32(frac),
+                                jnp.sqrt(var.astype(jnp.float32)))
+                            okl = (jnp.abs(d.astype(jnp.float32))
+                                   <= jnp.float32(w) * stddev)
+                        res = (fnd & okl).astype(jnp.uint8)
+                        full = jnp.zeros((ndp,) + res.shape, res.dtype)
+                        full = full.at[jax.lax.axis_index("dp")].set(res)
+                        return jax.lax.psum(full, "dp")
+
+                    self._pjit[key] = jax.jit(shard_map(
+                        shard_fn, mesh=self.mesh,
+                        in_specs=(*stable.aux_in_specs(P),
+                                  P("dp", None), P("dp")),
+                        out_specs=P(None, None, None)))
+        fn = self._pjit[key]
+        tab_in = self._placed_tables(True)
+        out = fn(*tab_in,
+                 distributed.put_global(self.mesh, P("dp", None),
+                                        np.ascontiguousarray(codes)),
+                 distributed.put_global(self.mesh, P("dp"),
+                                        np.ascontiguousarray(lengths)))
+        m = distributed.fetch_replicated(out)
+        return m.reshape(-1, m.shape[-1])[:B0].astype(bool)
 
     def dispatch_batch(self, batch: fasta_io.SequenceBatch,
                        keep_hits: bool = False):

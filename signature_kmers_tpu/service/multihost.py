@@ -278,32 +278,48 @@ def follower_loop(service) -> None:
         caller, handle = pending.popleft()
         caller.collect_batch(handle)
 
+    import sys
+
     while True:
         op, a, b = (int(x) for x in _bcast_header())
         if op == OP_QUIT:
             while pending:
                 _collect_oldest()
             return
-        if op == OP_CALL:
-            batch = _recv_batch(a, b)
-            # re-read per op: /add swaps service.engines (followers never
-            # wrap in MultihostCaller — _make_engines only wraps rank 0)
-            caller = service.engines.caller
-            pending.append((caller, caller.dispatch_batch(batch)))
-            while len(pending) > depth:
-                _collect_oldest()
-        elif op == OP_LOOKUP:
-            batch = _recv_batch(a, b)
-            # synchronous, like rank 0 (the lookup gather is collective
-            # and held under rank 0's dispatch lock for its duration)
-            service.engines.caller.call_batch(batch, keep_hits=True)
-        elif op == OP_MATRIX:
-            payload = _recv_padded(a, np.uint8, _CODES_GRID)
-            from ..io import fasta as fasta_io
+        # Handler bodies catch-and-continue: a DETERMINISTIC compute
+        # error (a bad /matrix body, a lookup edge case) raises
+        # identically on every rank — rank 0's HTTP handler turns it
+        # into a 500 and keeps serving, so the follower must stay in
+        # the loop too (exiting would leave rank 0's next broadcast
+        # hanging on a peerless collective until the heartbeat abort).
+        # Asymmetric failures (single-rank OOM) still diverge and end
+        # in the coordination-service abort, exactly as before.
+        try:
+            if op == OP_CALL:
+                batch = _recv_batch(a, b)
+                # re-read per op: /add swaps service.engines (followers
+                # never wrap in MultihostCaller — only rank 0 does)
+                caller = service.engines.caller
+                pending.append((caller, caller.dispatch_batch(batch)))
+                while len(pending) > depth:
+                    _collect_oldest()
+            elif op == OP_LOOKUP:
+                batch = _recv_batch(a, b)
+                # synchronous, like rank 0 (the lookup gather is
+                # collective, held under rank 0's lock for its duration)
+                service.engines.caller.call_batch(batch, keep_hits=True)
+            elif op == OP_MATRIX:
+                payload = _recv_padded(a, np.uint8, _CODES_GRID)
+                from ..io import fasta as fasta_io
 
-            batch = fasta_io.SequenceBatch.from_records(
-                fasta_io.iter_fasta(payload.tobytes()))
-            service.engines.distance.compute([batch], mesh=service.mesh)
-        elif op == OP_ADD:
-            payload = _recv_padded(a, np.uint8, _CODES_GRID)
-            service.add_text(payload.tobytes(), _broadcast=False)
+                batch = fasta_io.SequenceBatch.from_records(
+                    fasta_io.iter_fasta(payload.tobytes()))
+                service.engines.distance.compute([batch],
+                                                 mesh=service.mesh)
+            elif op == OP_ADD:
+                payload = _recv_padded(a, np.uint8, _CODES_GRID)
+                service.add_text(payload.tobytes(), _broadcast=False)
+        except Exception as e:  # noqa: BLE001 — mirror rank 0's catch
+            print(f"follower: op {op} failed (continuing, rank 0 "
+                  f"reports the error to its client): {e!r}",
+                  file=sys.stderr, flush=True)
