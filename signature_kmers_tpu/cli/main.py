@@ -467,8 +467,15 @@ def cmd_matrix_merge(args):
 def _add_serve(sub):
     p = sub.add_parser("serve", help="annotation service")
     p.add_argument("-d", "--data-dir", required=True)
-    p.add_argument("--port", type=int, default=6100)
+    p.add_argument("--port", type=int, default=6100,
+                   help="port to listen on; 0 means choose a random "
+                        "port (ref: kmers-server.cc:46)")
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--listen-port-file",
+                   help="save the bound listen port to this file "
+                        "(written atomically once listening; for test "
+                        "harnesses with --port 0; ref: "
+                        "kmers-server.cc:44)")
     # daemon plumbing mirrors the reference server options
     # (ref: kmers-server.cc:44-46 --daemonize/--pid-file; :58,265-269
     # --no-listen "For profiling": load everything, don't serve)
@@ -547,7 +554,8 @@ def cmd_serve(args):
             if args.pid_file:
                 Path(args.pid_file).write_text(f"{os.getpid()}\n")
             serve(args.data_dir, host=args.host, port=args.port,
-                  mesh=mesh, multihost=True, warm_len=args.warm)
+                  mesh=mesh, multihost=True, warm_len=args.warm,
+                  listen_port_file=args.listen_port_file)
         else:
             svc = AnnotationService(args.data_dir, mesh=mesh,
                                     multihost=True)
@@ -593,7 +601,7 @@ def cmd_serve(args):
     if args.pid_file:
         Path(args.pid_file).write_text(f"{os.getpid()}\n")
     serve(args.data_dir, host=args.host, port=args.port, mesh=build_mesh(),
-          warm_len=args.warm)
+          warm_len=args.warm, listen_port_file=args.listen_port_file)
     return 0
 
 

@@ -754,7 +754,7 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
 async def serve_async(data_dir, host="127.0.0.1", port=6100,
                       config: Config = Config(), ready_event=None,
                       mesh=None, multihost: bool = False,
-                      warm_len: int = 0):
+                      warm_len: int = 0, listen_port_file=None):
     service = AnnotationService(data_dir, config, mesh=mesh,
                                 multihost=multihost)
     if warm_len:
@@ -768,6 +768,23 @@ async def serve_async(data_dir, host="127.0.0.1", port=6100,
     stop_event = asyncio.Event()
     server = await asyncio.start_server(
         lambda r, w: _handle(service, stop_event, r, w), host, port)
+    # port 0 means "choose a random port"; the bound port is announced
+    # and (for harnesses) written to --listen-port-file, mirroring the
+    # reference server (kmers-server.cc:44-46 listen-port-file /
+    # "0 means to choose a random port")
+    bound_port = server.sockets[0].getsockname()[1]
+    if listen_port_file:
+        import os
+        from pathlib import Path
+
+        tmp = f"{listen_port_file}.tmp{os.getpid()}"
+        Path(tmp).write_text(f"{bound_port}\n")
+        os.replace(tmp, listen_port_file)
+    if port == 0:
+        import sys
+
+        print(f"listening on port {bound_port}", file=sys.stderr,
+              flush=True)
     if ready_event is not None:
         ready_event.set()
     async with server:
@@ -790,6 +807,8 @@ async def serve_async(data_dir, host="127.0.0.1", port=6100,
 
 
 def serve(data_dir, host="127.0.0.1", port=6100, config: Config = Config(),
-          mesh=None, multihost: bool = False, warm_len: int = 0):
+          mesh=None, multihost: bool = False, warm_len: int = 0,
+          listen_port_file=None):
     asyncio.run(serve_async(data_dir, host, port, config, mesh=mesh,
-                            multihost=multihost, warm_len=warm_len))
+                            multihost=multihost, warm_len=warm_len,
+                            listen_port_file=listen_port_file))

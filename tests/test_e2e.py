@@ -254,6 +254,41 @@ class TestService:
         t.join(timeout=10)
         assert not t.is_alive()
 
+    def test_listen_port_file(self, data_dir, tmp_path):
+        """--port 0 + --listen-port-file: the server binds a random
+        port and announces it through the port file, mirroring the
+        reference server's harness contract (kmers-server.cc:44-46)."""
+        import asyncio
+        import time
+        import urllib.request
+
+        from signature_kmers_tpu.service import server as srv
+
+        pf = tmp_path / "listen.port"
+        loop = asyncio.new_event_loop()
+
+        def run():
+            loop.run_until_complete(
+                srv.serve_async(str(data_dir), port=0,
+                                listen_port_file=str(pf)))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        for _ in range(200):
+            if pf.exists():
+                break
+            time.sleep(0.1)
+        else:
+            raise RuntimeError("port file never appeared")
+        port = int(pf.read_text().strip())
+        assert port > 0
+        base = f"http://127.0.0.1:{port}"
+        v = urllib.request.urlopen(base + "/version", timeout=5).read()
+        assert b"signature_kmers_tpu" in v
+        urllib.request.urlopen(base + "/quit", timeout=5).read()
+        t.join(timeout=10)
+        assert not t.is_alive()
+
     def test_mesh_service_over_http(self, corpus, data_dir):
         """serve --mesh end-to-end: the real asyncio server running on a
         sharded-table service answers /query over HTTP identically to a
