@@ -476,6 +476,9 @@ def _add_serve(sub):
                         "(written atomically once listening; for test "
                         "harnesses with --port 0; ref: "
                         "kmers-server.cc:44)")
+    p.add_argument("--kmer-version", metavar="STR",
+                   help="k-mer data version string reported by "
+                        "GET /version (ref: kmers-server.cc:48)")
     # daemon plumbing mirrors the reference server options
     # (ref: kmers-server.cc:44-46 --daemonize/--pid-file; :58,265-269
     # --no-listen "For profiling": load everything, don't serve)
@@ -555,7 +558,8 @@ def cmd_serve(args):
                 Path(args.pid_file).write_text(f"{os.getpid()}\n")
             serve(args.data_dir, host=args.host, port=args.port,
                   mesh=mesh, multihost=True, warm_len=args.warm,
-                  listen_port_file=args.listen_port_file)
+                  listen_port_file=args.listen_port_file,
+                  kmer_version=args.kmer_version)
         else:
             svc = AnnotationService(args.data_dir, mesh=mesh,
                                     multihost=True)
@@ -601,7 +605,8 @@ def cmd_serve(args):
     if args.pid_file:
         Path(args.pid_file).write_text(f"{os.getpid()}\n")
     serve(args.data_dir, host=args.host, port=args.port, mesh=build_mesh(),
-          warm_len=args.warm, listen_port_file=args.listen_port_file)
+          warm_len=args.warm, listen_port_file=args.listen_port_file,
+          kmer_version=args.kmer_version)
     return 0
 
 

@@ -200,7 +200,7 @@ class _QueryBatcher:
 
 class AnnotationService:
     def __init__(self, data_dir, config: Config = Config(), mesh=None,
-                 multihost: bool = False):
+                 multihost: bool = False, kmer_version: str | None = None):
         """mesh: optional jax.sharding.Mesh — the service dispatches onto
         a dp x tp device mesh (queries dp-sharded, the signature table
         tp-sharded across chips via ParallelFunctionCaller) instead of a
@@ -215,6 +215,7 @@ class AnnotationService:
         self.data_dir = data_dir
         self.mesh = mesh
         self.multihost = multihost
+        self.kmer_version = kmer_version
         if multihost:
             # re-arm the module-level quit latch: a service built after a
             # previous serve()/quit cycle in this process must dispatch
@@ -342,7 +343,13 @@ class AnnotationService:
     # -- request handlers --------------------------------------------------
 
     def version_text(self) -> str:
-        return (f"signature_kmers_tpu {__version__}\n"
+        # "kmer\t<version>" line matches the reference's /version payload
+        # when a data-version string is configured (kser_request.cc:283-296
+        # with kmers-server.cc:48 --kmer-version)
+        head = (f"kmer\t{self.kmer_version}\n" if self.kmer_version
+                else "")
+        return (head +
+                f"signature_kmers_tpu {__version__}\n"
                 f"kmers {self.table.n_items}\n"
                 f"table_slots {self.table.size}\n"
                 f"functions {len(self.function_index)}\n")
@@ -754,9 +761,11 @@ async def _handle(service: AnnotationService, stop_event: asyncio.Event,
 async def serve_async(data_dir, host="127.0.0.1", port=6100,
                       config: Config = Config(), ready_event=None,
                       mesh=None, multihost: bool = False,
-                      warm_len: int = 0, listen_port_file=None):
+                      warm_len: int = 0, listen_port_file=None,
+                      kmer_version=None):
     service = AnnotationService(data_dir, config, mesh=mesh,
-                                multihost=multihost)
+                                multihost=multihost,
+                                kmer_version=kmer_version)
     if warm_len:
         import sys
         import time
@@ -808,7 +817,8 @@ async def serve_async(data_dir, host="127.0.0.1", port=6100,
 
 def serve(data_dir, host="127.0.0.1", port=6100, config: Config = Config(),
           mesh=None, multihost: bool = False, warm_len: int = 0,
-          listen_port_file=None):
+          listen_port_file=None, kmer_version=None):
     asyncio.run(serve_async(data_dir, host, port, config, mesh=mesh,
                             multihost=multihost, warm_len=warm_len,
-                            listen_port_file=listen_port_file))
+                            listen_port_file=listen_port_file,
+                            kmer_version=kmer_version))

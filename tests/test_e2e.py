@@ -270,7 +270,8 @@ class TestService:
         def run():
             loop.run_until_complete(
                 srv.serve_async(str(data_dir), port=0,
-                                listen_port_file=str(pf)))
+                                listen_port_file=str(pf),
+                                kmer_version="V2024test"))
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
@@ -285,6 +286,8 @@ class TestService:
         base = f"http://127.0.0.1:{port}"
         v = urllib.request.urlopen(base + "/version", timeout=5).read()
         assert b"signature_kmers_tpu" in v
+        # --kmer-version's reference /version line (kser_request.cc:283-296)
+        assert v.startswith(b"kmer\tV2024test\n")
         urllib.request.urlopen(base + "/quit", timeout=5).read()
         t.join(timeout=10)
         assert not t.is_alive()
