@@ -17,7 +17,6 @@ heavy, like production annotation).
 
 import json
 import os
-import socket
 import subprocess
 import sys
 import threading
@@ -98,29 +97,36 @@ def main():
     data = ensure_data()
     bodies = make_queries(64, seqs_per_req)
 
-    port = None
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    # --port 0 + --listen-port-file: the server picks the port, so a
+    # parallel job on the host can never steal a pre-probed one
+    port_file = data.parent / f"listen.port.{os.getpid()}"
+    port_file.unlink(missing_ok=True)
 
     # --warm: pre-compile the pow2-rows dispatch-shape grid at startup —
     # without it a mid-run first-shape compile lands in the p99 tail
     # (round-4 driver record: p99 816.8 ms unwarmed vs 231 ms warmed)
     proc = subprocess.Popen(
         [sys.executable, "-m", "signature_kmers_tpu.cli.main",
-         "serve", "-d", str(data), "--port", str(port), "--warm", "300"],
+         "serve", "-d", str(data), "--port", "0",
+         "--listen-port-file", str(port_file), "--warm", "300"],
         cwd=str(Path(__file__).resolve().parents[1]),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     try:
         deadline = time.time() + 300
+        port = None
         while time.time() < deadline:
-            try:
-                req(port, "/version", timeout=5)
-                break
-            except Exception:
-                time.sleep(1.0)
+            if port is None and port_file.exists():
+                port = int(port_file.read_text().strip())
+            if port is not None:
+                try:
+                    req(port, "/version", timeout=5)
+                    break
+                except Exception:
+                    pass
+            time.sleep(1.0)
         else:
             raise RuntimeError("service never came up")
+        port_file.unlink(missing_ok=True)
 
         # warmup: compile the device program for the request shape
         t0 = time.time()
